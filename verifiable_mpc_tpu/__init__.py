@@ -1,0 +1,18 @@
+"""verifiable_mpc_tpu — TPU-native verifiable-MPC proof framework.
+
+A from-scratch implementation of publicly verifiable secure multi-party
+computation with the capabilities of `toonsegers/verifiable_mpc`:
+
+* AC20 compressed Sigma-protocols (pivot / compressed / KoE) and the
+  circuit-satisfiability protocol (Protocol 8) over Ed25519, BN256 and
+  quadratic-residue groups,
+* Pinocchio / Trinocchio QAP-based zk-SNARKs over the BN256 pairing,
+* a Shamir-sharing MPC runtime so several parties can jointly produce proofs,
+* all heavy primitives (fixed-limb field arithmetic, batched curve ops, MSM,
+  NTT) as JAX/XLA/Pallas kernels with `shard_map` multi-chip scaling.
+"""
+
+__version__ = "0.1.0"
+
+from . import fields
+from . import groups
