@@ -1,0 +1,182 @@
+"""AC20 Protocols 4+5: compressed pivot (Bulletproofs-style folding).
+
+Behavior parity with reference
+/root/reference/verifiable_mpc/ac20/compressed_pivot.py: Protocol 5 wraps the
+pivot and derives challenges c0/c1 (reference :89-145), then Protocol 4 folds
+commitment vector and generators over log2(n+1) rounds (reference :29-86).
+
+TPU-first deviations:
+* the recursion is an iterative host loop (static depth) whose per-round hot
+  ops — two MSMs (A, B) and the generator fold g' = g_L^c * g_R — dispatch to
+  the TPU kernels via ``ops.dispatch``;
+* randomness is injectable via ``verifiable_mpc_tpu.rng``.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from .. import rng
+from ..groups import is_elliptic
+from ..ops.dispatch import fold_generators
+from . import pivot
+
+logger_cp = logging.getLogger("compressed_pivot")
+logger_cp.setLevel(logging.INFO)
+
+logger_cp_hin = logging.getLogger("compressed_pivot_hash_inputs")
+logger_cp_hin.setLevel(logging.INFO)
+
+logger_cp_hout = logging.getLogger("compressed_pivot_hash_outputs")
+logger_cp_hout.setLevel(logging.INFO)
+
+
+def _round_challenge(A, B, g_hat, k, Q, L_tilde, order):
+    """Fiat-Shamir challenge for one folding round (reference :47-59)."""
+    if is_elliptic(A):
+        input_list = [A.normalize(), B.normalize(), g_hat, k, Q.normalize(), L_tilde]
+    else:
+        input_list = [A, B, g_hat, k, Q, L_tilde]
+    logger_cp_hin.debug(f"protocol_4 round: input_list=\n{input_list}")
+    c = pivot.fiat_shamir_hash(input_list, order)
+    logger_cp_hout.debug(f"After hash, hash=\n{c}")
+    return c
+
+
+def _fold_form(L_tilde, c, gf):
+    """L' = c*L_left + L_right (reference :70-73)."""
+    assert (
+        L_tilde.constant == 0
+    ), "Next line assumes L_tilde is a linear form, not affine form."
+    half = len(L_tilde.coeffs) // 2
+    c_l = [coeff * gf(c) for coeff in L_tilde.coeffs[:half]]
+    return pivot.LinearForm(c_l) + pivot.LinearForm(L_tilde.coeffs[half:])
+
+
+def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0):
+    """Prover of Protocol 4, iterative (reference :29-86)."""
+    proof = {} if proof is None else proof
+    order = k.order
+    while True:
+        half = len(g_hat) // 2
+        g_hat_l, g_hat_r = g_hat[:half], g_hat[half:]
+        z_hat_l, z_hat_r = z_hat[:half], z_hat[half:]
+        logger_cp.debug("Calculate A_i, B_i.")
+        A = pivot.vector_commitment(
+            z_hat_l, int(L_tilde([0] * half + z_hat_l)), g_hat_r, k
+        )
+        B = pivot.vector_commitment(
+            z_hat_r, int(L_tilde(z_hat_r + [0] * half)), g_hat_l, k
+        )
+        proof["A" + str(round_i)] = A
+        proof["B" + str(round_i)] = B
+
+        c = _round_challenge(A, B, g_hat, k, Q, L_tilde, order)
+
+        logger_cp.debug("Calculate g_prime, Q_prime.")
+        g_hat = fold_generators(g_hat_l, g_hat_r, c)
+        Q = A * (Q ** c) * (B ** (c ** 2))
+        L_tilde = _fold_form(L_tilde, c, gf)
+        z_hat = [z_hat_l[i] + c * z_hat_r[i] for i in range(half)]
+
+        if len(z_hat) <= 2:
+            proof["z_prime"] = z_hat
+            return proof
+        round_i += 1
+
+
+def protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i=0):
+    """Verifier of Protocol 4, iterative (reference :148-202)."""
+    order = k.order
+    while True:
+        half = len(g_hat) // 2
+        g_hat_l, g_hat_r = g_hat[:half], g_hat[half:]
+        A = proof["A" + str(round_i)]
+        B = proof["B" + str(round_i)]
+
+        c = _round_challenge(A, B, g_hat, k, Q, L_tilde, order)
+
+        g_hat = fold_generators(g_hat_l, g_hat_r, c)
+        Q = A * (Q ** c) * (B ** (c ** 2))
+        L_tilde = _fold_form(L_tilde, c, gf)
+
+        if len(g_hat) <= 2:
+            z_prime = proof["z_prime"]
+            Q_check = pivot.vector_commitment(
+                z_prime, int(L_tilde(z_prime)), g_hat, k
+            )
+            logger_cp.debug(f"Q_check= {Q_check}")
+            logger_cp.debug(f"Q_prime= {Q}")
+            return Q_check == Q
+        round_i += 1
+
+
+def _first_hash(t, A, generators, P, L, y, order):
+    """c0, c1 of Protocol 5 (reference :115-131)."""
+    if is_elliptic(A):
+        input_list = [t, A.normalize(), generators, P.normalize(), L, y]
+    else:
+        input_list = [t, A, generators, P, L, y]
+    logger_cp_hin.debug(f"protocol_5: input_list=\n{input_list}")
+    c0 = pivot.fiat_shamir_hash(
+        input_list + [0] + ["First hash of compressed pivot"], order
+    )
+    c1 = pivot.fiat_shamir_hash(
+        input_list + [1] + ["First hash of compressed pivot"], order
+    )
+    logger_cp_hout.debug(f"After hash, hash=\n{c0}, {c1}")
+    return c0, c1
+
+
+def protocol_5_prover(generators, P, L, y, x, gamma, gf):
+    """Prover of Protocol 5 (reference :89-145)."""
+    g, h, k = generators["g"], generators["h"], generators["k"]
+
+    proof = {}
+    n = len(x)
+    L, y = pivot.affine_to_linear(L, y, n)
+    assert (
+        bin(n + 1).count("1") == 1
+    ), "This implementation requires n+1 to be power of 2 (else, use padding with zeros)."
+
+    order = gf.order
+    r = [rng.randrange(order) for _ in range(n)]
+    rho = rng.randrange(order)
+    logger_cp.debug("Calculate t, A.")
+    t = L(r)
+    A = pivot.vector_commitment(r, rho, g, h)
+    proof["t"] = t
+    proof["A"] = A
+
+    c0, c1 = _first_hash(t, A, generators, P, L, y, order)
+
+    z = [c0 * x_i + r[i] for i, x_i in enumerate(x)]
+    phi = gf(c0 * gamma + rho)
+    z_hat = z + [phi]
+    g_hat = g + [h]
+    logger_cp.debug("Calculate Q.")
+    Q = A * (P ** c0) * (k ** int(c1 * (c0 * y + t)))
+    L_tilde = pivot.LinearForm(L.coeffs + [0]) * c1
+    assert L(z) * c1 == L_tilde(z_hat)
+
+    return protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof)
+
+
+def protocol_5_verifier(generators, P, L, y, proof, gf):
+    """Verifier of Protocol 5 (reference :205-239)."""
+    g, h, k = generators["g"], generators["h"], generators["k"]
+
+    order = gf.order
+    n = len(g)
+    L, y = pivot.affine_to_linear(L, y, n)
+    t = proof["t"]
+    A = proof["A"]
+
+    c0, c1 = _first_hash(t, A, generators, P, L, y, order)
+
+    g_hat = g + [h]
+    logger_cp.debug("Calculate Q.")
+    Q = A * (P ** c0) * (k ** int(c1 * (c0 * y + t)))
+    L_tilde = pivot.LinearForm(L.coeffs + [0]) * c1
+
+    return protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof)

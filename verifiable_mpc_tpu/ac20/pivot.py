@@ -1,0 +1,202 @@
+"""AC20 Protocol 2 ("pivot"): Sigma-protocol for linear-form openings.
+
+Implements the non-interactive pivot of Attema-Cramer (eprint 2020/152) with
+behavior parity to reference /root/reference/verifiable_mpc/ac20/pivot.py:
+AffineForm/LinearForm algebra (pivot.py:31-116), the Fiat-Shamir hash over
+``str(input_list)`` (pivot.py:131-136), Pedersen vector commitments
+(pivot.py:139-145) and prover/verifier (pivot.py:156-205).
+
+TPU-first deviations: commitments and folds dispatch through
+``ops.dispatch`` so large vectors run on the MSM kernel, and protocol
+randomness is injectable (``verifiable_mpc_tpu.rng``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+
+from .. import rng
+from ..fields import FiniteFieldElement
+from ..groups import is_elliptic
+from ..ops.dispatch import multiexp, list_mul  # noqa: F401 (list_mul is API)
+
+logger_piv = logging.getLogger("pivot")
+logger_piv.setLevel(logging.INFO)
+
+
+class AffineForm:
+    """Affine form a(x) = <coeffs, x> + constant.
+
+    Coefficients may be ints, field elements or secure shares; operator
+    behavior mirrors reference pivot.py:31-95 (including ``repr``, which
+    feeds Fiat-Shamir transcripts).
+    """
+
+    __slots__ = ("coeffs", "constant")
+
+    def __init__(self, coeffs, constant):
+        self.coeffs = coeffs
+        self.constant = constant
+
+    def __add__(self, other):
+        if isinstance(other, AffineForm):
+            assert len(self) == len(
+                other
+            ), "Length of linear forms to add not consistent."
+            new_coeffs = [a + b for a, b in zip(self.coeffs, other.coeffs)]
+            new_constant = self.constant + other.constant
+        elif _is_scalar(other):
+            new_coeffs = self.coeffs
+            new_constant = self.constant + other
+        else:
+            raise NotImplementedError(
+                f"Addition of form not defined for type: {type(other)}"
+            )
+        return AffineForm(new_coeffs, new_constant)
+
+    def __radd__(self, other):
+        if isinstance(other, int) and other == 0:
+            return self
+        return self.__add__(other)
+
+    def __sub__(self, other):
+        return self + (-1) * other
+
+    def __mul__(self, other):
+        if _is_scalar(other):
+            new_coeffs = [c * other for c in self.coeffs]
+            new_constant = self.constant * other
+        else:
+            raise NotImplementedError(
+                f"Multiplication of form not defined for type: {type(other)}"
+            )
+        return type(self)(new_coeffs, new_constant)
+
+    def __rmul__(self, other):
+        return self * other
+
+    def __len__(self):
+        return len(self.coeffs)
+
+    def __eq__(self, other):
+        return self.coeffs == other.coeffs
+
+    def __repr__(self):
+        # transcript format parity: reference pivot.py:81-82
+        return f"{str(self.coeffs)}, {str(self.constant)}"
+
+    def eval(self, values):
+        assert len(values) == len(
+            self.coeffs
+        ), "Length of inputs to be equal to coefficients of linear form."
+        result = self.constant
+        for c, v in zip(self.coeffs, values):
+            result = c * v + result
+        return result
+
+    def __call__(self, values):
+        return self.eval(values)
+
+
+class LinearForm(AffineForm):
+    """Affine form with constant forced to 0 (reference pivot.py:98-116).
+
+    Adding a scalar or another form degrades to a plain AffineForm.
+    """
+
+    __slots__ = ()
+
+    def __init__(self, coeffs, constant=0):
+        self.coeffs = coeffs
+        self.constant = 0
+
+    def __mul__(self, other):
+        if _is_scalar(other):
+            return LinearForm([c * other for c in self.coeffs])
+        raise NotImplementedError(
+            f"Multiplication of form not defined for type: {type(other)}"
+        )
+
+    __rmul__ = __mul__
+
+
+def _is_scalar(value):
+    if isinstance(value, (int, FiniteFieldElement)):
+        return True
+    # secure shares pass through untouched (MPC prover path)
+    return getattr(type(value), "is_secure_object", False)
+
+
+def _int(value):
+    """Field elements -> signed int; ints and secure shares pass through
+    (reference pivot.py:119-128)."""
+    if isinstance(value, int):
+        return value
+    if isinstance(value, FiniteFieldElement):
+        return int(value)
+    if getattr(type(value), "is_secure_object", False):
+        return value
+    raise NotImplementedError(f"cannot convert {type(value)}")
+
+
+def fiat_shamir_hash(input_list, order):
+    """SHA-256 of ``str(input_list)``, little-endian, mod order
+    (transcript parity with reference pivot.py:131-136)."""
+    hash_input = str(input_list).encode("utf-8")
+    return int.from_bytes(hashlib.sha256(hash_input).digest(), "little") % order
+
+
+def vector_commitment(x, gamma, g, h):
+    """Pedersen vector commitment h^gamma * prod g_i^{x_i} (AC20 Def. 1).
+
+    Routed through the MSM dispatcher: one multiexp of length len(x)+1
+    instead of the reference's sequential loop (pivot.py:139-145).
+    """
+    assert len(g) >= len(x), "Not enough generators."
+    return multiexp(list(g[: len(x)]) + [h], [_int(xi) for xi in x] + [int(gamma)])
+
+
+def affine_to_linear(L, y, n):
+    """Shift an affine form (and claimed evaluation) to a linear form
+    (reference pivot.py:148-153)."""
+    constant = L([0] * n)
+    return L - constant, y - constant
+
+
+def prove_linear_form_eval(g, h, P, L, y, x, gamma, gf):
+    """Non-interactive Sigma-protocol Pi_s (reference pivot.py:156-181)."""
+    n = len(x)
+    L, y = affine_to_linear(L, y, n)
+    r = [gf(rng.randrange(gf.order)) for _ in range(n)]
+    rho = rng.randrange(gf.order)
+    t = L(r)
+    A = vector_commitment(r, rho, g, h)
+    logger_piv.debug(f"Prover computed A={A}.")
+
+    if is_elliptic(A):
+        input_list = [t, A.normalize(), g, h, P.normalize(), L, y]
+    else:
+        input_list = [t, A, g, h, P, L, y]
+
+    c = fiat_shamir_hash(input_list, gf.order)
+    z = [c * x_i + r[i] for i, x_i in enumerate(x)]
+    phi = (c * gamma + rho) % gf.order
+    return z, phi, c
+
+
+def verify_linear_form_proof(g, h, P, L, y, z, phi, c):
+    """Verifier of Pi_s (reference pivot.py:184-205)."""
+    n = len(z)
+    L, y = affine_to_linear(L, y, n)
+    A_check = vector_commitment(z, phi, g, h) * ((P ** c) ** (-1))
+    t_check = L(z) - c * y
+    order = type(t_check).order
+
+    if is_elliptic(A_check):
+        input_list = [t_check, A_check.normalize(), g, h, P.normalize(), L, y]
+    else:
+        input_list = [t_check, A_check, g, h, P, L, y]
+
+    hash_check = fiat_shamir_hash(input_list, order)
+    return c == hash_check

@@ -1,0 +1,93 @@
+"""Backend dispatch for the heavy group primitives.
+
+Single integration point between the (host-side) protocol layer and the TPU
+kernels: every hot operation identified in SURVEY.md §2 — Pedersen
+commitments (reference pivot.py:139-145), the protocol-4 fold
+(compressed_pivot.py:41-42,64), Pinocchio's proof MSMs (pynocchio.py:228-273)
+— funnels through :func:`multiexp` / :func:`fold_generators`.
+
+A TPU implementation registers itself per group class via
+:func:`register_msm_backend`; otherwise a host tree-reduction is used.
+"""
+
+from __future__ import annotations
+
+_MSM_BACKENDS = {}  # group class -> callable(points, scalars) -> point
+_MIN_TPU_BATCH = 8  # below this, kernel launch overhead dominates
+
+
+def register_msm_backend(group_cls, fn, min_batch: int = _MIN_TPU_BATCH):
+    _MSM_BACKENDS[group_cls] = (fn, min_batch)
+
+
+def _host_multiexp(bases, exponents):
+    cls = type(bases[0])
+    terms = [b ** e for b, e in zip(bases, exponents)]
+    return _tree_reduce(cls, terms)
+
+
+def _tree_reduce(cls, terms):
+    # binary tree, matching the reference's mpctools.reduce shape
+    # (pivot.py:26-28) without its recursion overhead
+    if not terms:
+        return cls.identity
+    while len(terms) > 1:
+        nxt = [
+            cls._op(terms[i], terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+        terms = nxt
+    return terms[0]
+
+
+def multiexp(bases, exponents):
+    """prod_i bases[i] ** exponents[i] (exponents: ints or field elements)."""
+    if not bases:
+        raise ValueError("empty multiexp")
+    exponents = [int(e) for e in exponents]
+    cls = type(bases[0])
+    backend = _MSM_BACKENDS.get(cls)
+    if backend is not None and len(bases) >= backend[1]:
+        return backend[0](bases, exponents)
+    return _host_multiexp(bases, exponents)
+
+
+def list_mul(x):
+    """Group product of a list (reference pivot.py:26-28)."""
+    cls = type(x[0])
+    return _tree_reduce(cls, list(x))
+
+
+_FOLD_BACKENDS = {}
+
+
+def register_fold_backend(group_cls, fn, min_batch: int = _MIN_TPU_BATCH):
+    _FOLD_BACKENDS[group_cls] = (fn, min_batch)
+
+
+def fold_generators(g_l, g_r, c: int):
+    """[g_l[i]**c * g_r[i]] — the per-round generator fold of Protocol 4
+    (reference compressed_pivot.py:64)."""
+    cls = type(g_l[0])
+    backend = _FOLD_BACKENDS.get(cls)
+    if backend is not None and len(g_l) >= backend[1]:
+        return backend[0](g_l, g_r, c)
+    return [(g_l[i] ** c) * g_r[i] for i in range(len(g_l))]
+
+
+_BATCH_EXP_BACKENDS = {}
+
+
+def register_batch_exp_backend(group_cls, fn, min_batch: int = _MIN_TPU_BATCH):
+    _BATCH_EXP_BACKENDS[group_cls] = (fn, min_batch)
+
+
+def batch_exp(base, exponents):
+    """[base ** e for e in exponents] — fixed-base batch exponentiation
+    (generator/CRS setup, reference circuit_sat_r1cs.py:47-93)."""
+    exponents = [int(e) for e in exponents]
+    cls = type(base)
+    backend = _BATCH_EXP_BACKENDS.get(cls)
+    if backend is not None and len(exponents) >= backend[1]:
+        return backend[0](base, exponents)
+    return [base ** e for e in exponents]
