@@ -1,0 +1,522 @@
+"""Circuit-builder DSL: record an arithmetic circuit by computing with it.
+
+Behavior parity with reference
+/root/reference/verifiable_mpc/ac20/circuit_builder.py: ``Circuit``/``Gate``/
+``CircuitVar`` (:21-392) with the gadget set (check_not_zero,
+check_bit_decomp_positive, check_ge_zero, comparisons, boolean ops), affine
+form extraction (:417-498), AC20 z-vector re-indexing (:501-545) and the
+Lagrange-weighted f/g/h forms (:517-537).
+
+Performance redesign (SURVEY.md §7.6): wire-form extraction is memoized per
+gate and gate lookups use hash maps, so form construction is linear in
+circuit size instead of the reference's exponential recursive traversal —
+required at 2^16 gates.  Gadgets on secure values delegate to the MPC
+runtime's ``if_else``/``to_bits`` (reference :277-281,320-326).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from ..fields import FiniteFieldElement
+from .pivot import AffineForm, LinearForm
+from .recombine import _recombination_vectors
+
+
+class op(Enum):
+    add = "add"
+    mul = "mul"
+    scalar_mul = "scalar mul"
+
+
+class Gate:
+    """Fan-in-2 gate (AC20 requires fan-in 2, unbounded fan-out)."""
+
+    __slots__ = ("op", "output", "inputs", "mul_index", "index")
+
+    def __init__(self, op_, output, inputs):
+        self.op = op_
+        self.output = output
+        self.inputs = inputs
+        self.mul_index = None
+        self.index = None
+
+    def __str__(self):
+        # transcript format parity: reference circuit_builder.py:32-37
+        inputs = str(
+            [i.name if isinstance(i, CircuitVar) else i for i in self.inputs]
+        )
+        output = str(
+            self.output.name if isinstance(self.output, CircuitVar) else self.output
+        )
+        return output + " <- " + str(self.op) + "(" + inputs + ")"
+
+
+class Circuit:
+    def __init__(self):
+        self.gates = []
+        self.gate_ct = 0
+        self.input_ct = 0
+        self.output_ct = 0
+        self.add_ct = 0
+        self.mul_ct = 0
+        self.scalar_mul_ct = 0
+        self._dummy_ct = 0
+        self.input_gates = []  # indices
+        self.output_gates = []  # indices
+        self.circuitvars = []
+        self._gate_by_output_name = {}
+        self._form_cache = {}
+
+    def add_gate(self, gate):
+        self.gates.append(gate)
+        self.gate_ct += 1
+        gate.index = self.gate_ct - 1
+        self._form_cache.clear()
+
+        for i in (0, 1):
+            gi = gate.inputs[i]
+            if isinstance(gi, CircuitVar) and gate.index not in gi.gates:
+                gi.gates.append(gate.index)
+
+        if (
+            isinstance(gate.inputs[0], CircuitVar)
+            and gate.inputs[0].input_index is not None
+        ):
+            self.input_gates.append(gate.index)
+        elif (
+            isinstance(gate.inputs[1], CircuitVar)
+            and gate.inputs[1].input_index is not None
+        ):
+            self.input_gates.append(gate.index)
+
+        if gate.op == op.add:
+            self.add_ct += 1
+        elif gate.op == op.mul:
+            assert isinstance(gate.inputs[0], CircuitVar) and isinstance(
+                gate.inputs[1], CircuitVar
+            )
+            self.mul_ct += 1
+            gate.mul_index = self.mul_ct - 1
+        elif gate.op == op.scalar_mul:
+            self.scalar_mul_ct += 1
+        else:
+            raise NotImplementedError
+
+        if isinstance(gate.output, CircuitVar):
+            self._gate_by_output_name[gate.output.name] = gate
+
+    def name_dummy(self):
+        name = "dummy_" + str(self._dummy_ct)
+        self._dummy_ct += 1
+        return name
+
+    def gate_by_output_name(self, name):
+        return self._gate_by_output_name[name]
+
+    def parents(self, gate):
+        name = gate.output.name
+        return [
+            g
+            for g in self.gates
+            if name in [v.name for v in g.inputs if isinstance(v, CircuitVar)]
+        ]
+
+    def children(self, gate):
+        out = []
+        for v in gate.inputs:
+            if isinstance(v, CircuitVar):
+                g = self._gate_by_output_name.get(v.name)
+                if g is not None:
+                    out.append(g)
+        return out
+
+    def mul_gates(self):
+        return [g for g in self.gates if g.op == op.mul]
+
+    def out_gates(self):
+        return [self.gates[ix] for ix in self.output_gates]
+
+    def in_gates(self):
+        return [self.gates[ix] for ix in self.input_gates]
+
+    def initial_inputs(self):
+        return [v.value for v in self.circuitvars if v.input_index is not None]
+
+    def multiplication_triples(self, inputs):
+        """Left/right/output wire values for all mul-gates
+        (reference circuit_builder.py:133-151), linear-time via memoized
+        forms."""
+        mul_gs = self.mul_gates()
+        left_forms = [construct_affine_form(g, self, wire=0) for g in mul_gs]
+        right_forms = [construct_affine_form(g, self, wire=1) for g in mul_gs]
+        alpha = [0] * self.mul_ct
+        beta = [0] * self.mul_ct
+        gamma = [0] * self.mul_ct
+        for i in range(self.mul_ct):
+            vals = list(inputs) + gamma
+            alpha[i] = left_forms[i](vals)
+            beta[i] = right_forms[i](vals)
+            gamma[i] = alpha[i] * beta[i]
+        return alpha, beta, gamma
+
+    def eval(self, inputs, gate):
+        _, _, gamma = self.multiplication_triples(inputs)
+        form_l = construct_affine_form(gate, self, wire=0)
+        form_r = construct_affine_form(gate, self, wire=1)
+        left = form_l(list(inputs) + gamma)
+        right = form_r(list(inputs) + gamma)
+        if gate.op == op.add:
+            return left + right
+        if gate.op in (op.mul, op.scalar_mul):
+            return left * right
+        raise ValueError
+
+    def __call__(self, inputs):
+        return [self.eval(inputs, self.gates[ix]) for ix in self.output_gates]
+
+    def __str__(self):
+        return print_circuit(self)
+
+
+class CircuitVar:
+    """Value wrapper that records gates as you compute
+    (reference circuit_builder.py:178-392)."""
+
+    def __init__(self, value, circuit, name=None, input_var=True):
+        self.value = value
+        self.circuit = circuit
+        self.name = name
+        self.input_index = None
+        self.output_index = None
+        self.gates = []
+
+        if input_var:
+            circuit.input_ct += 1
+            self.input_index = circuit.input_ct - 1
+            self.name += "_input_" + str(self.input_index)
+        circuit.circuitvars.append(self)
+
+    def label_output(self, name):
+        if self.output_index is None:
+            self.circuit.output_ct += 1
+            self.output_index = self.circuit.output_ct - 1
+            if name:
+                self.name = name + "_output_" + str(self.output_index)
+            else:
+                self.name = self.name + "_output_" + str(self.output_index)
+        output_gates = [
+            g.index for g in self.circuit.gates if g.output is self
+        ]
+        self.circuit.output_gates.extend(output_gates)
+        # renaming invalidates the name->gate map and cached forms
+        self.circuit._gate_by_output_name = {
+            g.output.name: g
+            for g in self.circuit.gates
+            if isinstance(g.output, CircuitVar)
+        }
+        self.circuit._form_cache.clear()
+
+    # -- arithmetic --------------------------------------------------------
+    def __add__(self, right):
+        if isinstance(right, CircuitVar):
+            value = self.value + right.value
+        elif isinstance(right, (int, FiniteFieldElement)):
+            value = self.value + right
+        else:
+            raise NotImplementedError
+        out = type(self)(
+            value, self.circuit, name=self.circuit.name_dummy(), input_var=False
+        )
+        self.circuit.add_gate(Gate(op.add, out, [self, right]))
+        return out
+
+    def __radd__(self, right):
+        return self + right
+
+    def __sub__(self, right):
+        return self + (-1 * right)
+
+    def __rsub__(self, right):
+        return (-1 * self) + right
+
+    def __mul__(self, right):
+        if isinstance(right, CircuitVar):
+            value = self.value * right.value
+            g_op = op.mul
+        elif isinstance(right, (int, FiniteFieldElement)):
+            value = self.value * right
+            g_op = op.scalar_mul
+        else:
+            raise NotImplementedError
+        out = type(self)(
+            value, self.circuit, name=self.circuit.name_dummy(), input_var=False
+        )
+        self.circuit.add_gate(Gate(g_op, out, [self, right]))
+        return out
+
+    def __rmul__(self, right):
+        return self * right
+
+    def __pow__(self, other, mod=None):
+        if other < 0:
+            raise ValueError("Exponent cannot be negative: ", other)
+        if other == 0:
+            return 1
+        if other == 1:
+            return self
+        return self * pow(self, other - 1)
+
+    # -- gadgets -----------------------------------------------------------
+    def check_not_zero(self):
+        """b = (a != 0) ? 1 : 0 (reference circuit_builder.py:267-303).
+
+        Injects auxiliary witness inputs and constraint-output gates.
+        """
+        a = self.value
+
+        if isinstance(a, FiniteFieldElement) or _is_secure(a):
+            if _is_secure(a):
+                from ..mpc.runtime import mpc
+
+                b = mpc.if_else(a == 0, 0, 1)
+            else:
+                b = 0 if a == 0 else 1
+            c = (a + (1 - b)) ** (-1)
+            cv_c = type(self)(
+                c,
+                self.circuit,
+                name="witness_{" + self.name + "!=0}",
+                input_var=True,
+            )
+            cv_b = self * cv_c
+            cv_d = self * (1 - cv_b)
+            cv_d.label_output("witness_{" + self.name + "!=0}")
+        elif isinstance(a, int):
+            c = twos_complement(a, a.bit_length() + 1)
+            cv_c = [
+                type(self)(
+                    c_i,
+                    self.circuit,
+                    name="witness_{" + self.name + "!=0}",
+                    input_var=True,
+                )
+                for c_i in c
+            ]
+            cv_a = -1 * cv_c[-1] * 2 ** (len(cv_c) - 1) + sum(
+                cv_c_i * 2 ** i for i, cv_c_i in enumerate(cv_c[:-1])
+            )
+            cv_d = cv_a - self
+            cv_d.label_output("witness_{" + self.name + "!=0}")
+            cv_b = cv_c[0]
+            for cv_c_i in cv_c[1:]:
+                cv_b = cv_b | cv_c_i
+        else:
+            raise NotImplementedError
+        return cv_b
+
+    def __ne__(self, other):
+        return (self - other).check_not_zero()
+
+    def __eq__(self, other):
+        return (self - other).check_not_zero() * -1 + 1
+
+    def check_bit_decomp_positive(self, bit_length):
+        """Check that self has a bit_length-bit decomposition
+        (reference circuit_builder.py:311-341)."""
+        a = self.value
+        if _is_secure(a):
+            from ..mpc.runtime import mpc
+
+            c = mpc.to_bits(a, l=bit_length)
+        elif isinstance(a, int):
+            c = twos_complement(a, bit_length + 1)
+        else:
+            raise NotImplementedError
+        cv_c = [
+            type(self)(
+                c_i,
+                self.circuit,
+                name="witness_{" + self.name + ">=0}",
+                input_var=True,
+            )
+            for c_i in c[: bit_length - 1]
+        ]
+
+        cv_a = sum(cv_c_i * 2 ** i for i, cv_c_i in enumerate(cv_c))
+        e = [cv_c_i * cv_c_i - cv_c_i for cv_c_i in cv_c]
+        for e_i in e:
+            e_i.label_output("witness_{" + self.name + ">=0}")
+
+        return self == cv_a
+
+    def check_ge_zero(self):
+        a = self.value
+        if _is_secure(a):
+            bit_length = a.bit_length
+        elif isinstance(a, int):
+            bit_length = a.bit_length()
+        else:
+            raise NotImplementedError
+        return self.check_bit_decomp_positive(bit_length)
+
+    def __le__(self, other):
+        return (other - self).check_ge_zero()
+
+    def __lt__(self, other):
+        return (other - self - 1).check_ge_zero()
+
+    def __gt__(self, other):
+        return (self - other - 1).check_ge_zero()
+
+    def __ge__(self, other):
+        return (self - other).check_ge_zero()
+
+    def __and__(self, other):
+        # assumes 0/1 inputs (witnesses of verified comparisons)
+        return self * other
+
+    def __or__(self, other):
+        return 1 - (1 - self) * (1 - other)
+
+    def __str__(self):
+        return str(self.value)
+
+    def __repr__(self):
+        return self.name + "{" + str(self.value) + "}"
+
+
+def _is_secure(value):
+    return getattr(type(value), "is_secure_object", False)
+
+
+def twos_complement(value, bit_length):
+    x = bin(value & (2 ** bit_length - 1))[2:]
+    return ([0] * (bit_length - len(x)) + [int(d) for d in x])[::-1]
+
+
+def print_circuit(circuit):
+    ret = []
+    for gate in circuit.out_gates():
+        _print_out_gate(circuit, gate, 0, ret)
+    return "".join(ret)
+
+
+def _print_out_gate(circuit, gate, level, out):
+    # iterative DFS to survive 2^16-gate circuits (reference :410-414 recurses)
+    stack = [(gate, level)]
+    while stack:
+        g, lvl = stack.pop()
+        out.append("\t" * lvl + str(g) + "\n")
+        children = circuit.children(g)
+        for child in reversed(children):
+            stack.append((child, lvl + 1))
+
+
+# ---------------------------------------------------------------------------
+# Affine-form extraction (reference circuit_builder.py:417-545)
+# ---------------------------------------------------------------------------
+
+
+def construct_affine_form(gate, circuit, wire=None):
+    """Affine form over [inputs || mul-gate outputs] for a gate wire.
+
+    Memoized per (gate, wire); overall linear in circuit size.
+    """
+    key = (id(gate), wire)
+    cached = circuit._form_cache.get(key)
+    if cached is not None:
+        return cached
+
+    width = circuit.input_ct + circuit.mul_ct
+
+    def zero_form():
+        return AffineForm([0] * width, 0)
+
+    def for_wire(g, w):
+        ret = zero_form()
+        inp = g.inputs[w]
+        if not isinstance(inp, CircuitVar):
+            ret.constant += inp
+        elif inp.input_index is not None:
+            ret.coeffs[inp.input_index] += 1
+        else:
+            child = circuit.gate_by_output_name(inp.name)
+            if child.op == op.mul:
+                ret.coeffs[circuit.input_ct + child.mul_index] += 1
+            elif child.op in (op.add, op.scalar_mul):
+                ret = construct_affine_form(child, circuit, wire=None)
+            else:
+                raise ValueError
+        return ret
+
+    if wire is not None:
+        ret = for_wire(gate, wire)
+    else:
+        if gate.op == op.add:
+            ret = for_wire(gate, 0) + for_wire(gate, 1)
+        elif gate.op == op.scalar_mul:
+            if isinstance(gate.inputs[0], CircuitVar):
+                ret = for_wire(gate, 0) * gate.inputs[1]
+            elif isinstance(gate.inputs[1], CircuitVar):
+                ret = for_wire(gate, 1) * gate.inputs[0]
+            else:
+                ret = zero_form()
+                ret.constant = gate.inputs[0] * gate.inputs[1]
+        elif gate.op == op.mul:
+            assert gate.output.output_index is not None
+            ret = zero_form()
+            ret.coeffs[circuit.input_ct + gate.mul_index] = 1
+        else:
+            raise ValueError
+
+    circuit._form_cache[key] = ret
+    return ret
+
+
+def convert_to_ac20(form, circuit):
+    """Re-index to the z-vector layout [x, f(0), g(0), h(0), h(1..2m)]
+    (reference circuit_builder.py:501-514)."""
+    newform = AffineForm(
+        form.coeffs[: circuit.input_ct]
+        + [0] * 3
+        + form.coeffs[circuit.input_ct :]
+        + [0] * circuit.mul_ct,
+        form.constant,
+    )
+    assert len(newform.coeffs) == circuit.input_ct + 3 + 2 * circuit.mul_ct
+    return newform
+
+
+def calculate_fg_form(circuit, wire, challenge, gf):
+    """Linear form giving f(c) (wire=0) or g(c) (wire=1) as a function of z
+    (reference circuit_builder.py:517-530)."""
+    forms = [construct_affine_form(g, circuit, wire) for g in circuit.mul_gates()]
+    forms = [convert_to_ac20(f, circuit) for f in forms]
+
+    lagr_vect = lagrange(gf, range(circuit.mul_ct + 1), challenge)
+
+    form = AffineForm(
+        [0] * circuit.input_ct + [0, 0, 0] + [0] * 2 * circuit.mul_ct, 0
+    )
+    form.coeffs[circuit.input_ct + wire] = 1 * lagr_vect[0]
+    form += sum(forms[j] * l_j for j, l_j in enumerate(lagr_vect[1:]))
+    return form
+
+
+def calculate_h_form(circuit, challenge, gf):
+    """Linear form giving h(c) (reference circuit_builder.py:533-537)."""
+    lagr_vect = lagrange(gf, range(2 * circuit.mul_ct + 1), challenge)
+    return LinearForm([0] * circuit.input_ct + [0] * 2 + lagr_vect)
+
+
+def calculate_circuit_forms(circuit):
+    """Output-gate forms (reference circuit_builder.py:540-545)."""
+    return [
+        construct_affine_form(circuit.gates[ix], circuit, None)
+        for ix in circuit.output_gates
+    ]
+
+
+def lagrange(gf, lagr_range, c):
+    return _recombination_vectors(gf, tuple(lagr_range), (c,))[0]
