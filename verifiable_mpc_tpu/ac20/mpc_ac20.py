@@ -1,0 +1,399 @@
+"""MPC (multi-party) prover for the AC20 protocols, code-string front-end.
+
+Behavior parity with reference /root/reference/verifiable_mpc/ac20/mpc_ac20.py:
+async mirrors of the single-prover paths where witness and randomness are
+Shamir shares; commitments via secure fixed-base multi-exponentiation with
+public output (:35-42); jointly-sampled generators (:45-51); KoE setup and
+arguments on shares (:54-138); protocol 4/5 (:141-269); shares-native
+z-vector construction via recombination + schur products (:287-423); the
+plain pivot (:426-463) and the top-level dispatch (:466-498).
+
+The verifier side is unchanged and public — reuse circuit_sat_r1cs.
+
+Per-party hot spot: the local multi-exponentiation inside ``secure_repeat``
+(each party's exponent vector batches onto the TPU MSM kernel).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from ..mpc.runtime import mpc
+from ..mpc.secgroups import repeat_public_base_public_output as secure_repeat
+from ..groups import is_elliptic
+from ..tools import poly as qc
+from . import circuit_sat_r1cs as cs
+from . import pivot
+from .pivot import _int
+from .recombine import recombine, _recombination_vectors  # noqa: F401
+
+logger_cs_mpc = logging.getLogger("cs_mpc")
+logger_cs_mpc.setLevel(logging.INFO)
+
+logger_cs_mpc_hin = logging.getLogger("cs_mpc_hash_inputs")
+logger_cs_mpc_hin.setLevel(logging.INFO)
+
+logger_cs_mpc_hout = logging.getLogger("cs_mpc_hash_outputs")
+logger_cs_mpc_hout.setLevel(logging.INFO)
+
+
+def vector_commitment(x, gamma, g, h):
+    """Pedersen commitment on shares, public output (reference :35-42)."""
+    return secure_repeat(list(g[: len(x)]) + [h], list(x) + [gamma])
+
+
+async def create_generators(group, sectype, input_length):
+    """Jointly sampled, trapdoor-free generators (reference :45-51)."""
+    h = group.generator
+    random_exponents = [mpc._random(sectype) for _ in range(input_length + 1)]
+    kg = await mpc.gather([secure_repeat(h, u) for u in random_exponents])
+    return {"g": kg[1:], "h": h, "k": kg[0]}
+
+
+async def koe_trusted_setup(group, sectype, input_length, progress_bar=False):
+    """MPC-sampled KoE public parameters (reference :54-82)."""
+    group1, group2 = group
+    _g1 = group1.generator
+    _g2 = group2.generator
+
+    g_exp = mpc._random(sectype)
+    alpha = mpc._random(sectype)
+    z = mpc._random(sectype)
+    g1 = await secure_repeat(_g1, g_exp)
+    g2 = await secure_repeat(_g2, g_exp * alpha)
+
+    pp_lhs = []
+    pp_rhs = []
+    g1_base = g1
+    g2_base = g2
+    for _ in range(2 * input_length):
+        g1 = await secure_repeat(g1, z)
+        g2 = await secure_repeat(g2, z)
+        pp_lhs.append(g1_base)
+        pp_rhs.append(g2_base)
+        g1_base = g1
+        g2_base = g2
+    return {"pp_lhs": pp_lhs, "pp_rhs": pp_rhs}
+
+
+async def koe_restriction_argument_prover(S, x, gamma, pp):
+    """[Gro10] restriction argument on shares (reference :85-103)."""
+    S = list(S)
+    P = await secure_repeat(
+        [pp["pp_lhs"][0]] + [pp["pp_lhs"][i + 1] for i in S],
+        [gamma] + [x[i] for i in S],
+    )
+    pi = await secure_repeat(
+        [pp["pp_rhs"][0]] + [pp["pp_rhs"][i + 1] for i in S],
+        [gamma] + [x[i] for i in S],
+    )
+    return P, pi
+
+
+async def koe_opening_linear_form_prover(L, x, gamma, pp, P=None, pi=None):
+    """KoE linear-form opening on shares (reference :106-138)."""
+    proof = {}
+    n = len(x)
+    S = range(n)
+    assert 2 * n - 1 <= len(pp["pp_lhs"]), (
+        "Requirement does not hold: 2*len(x)-1 <= number of generators in "
+        "first group."
+    )
+    if P is None:
+        P, pi = await koe_restriction_argument_prover(S, x, gamma, pp)
+    proof["P"] = P
+    proof["pi"] = pi
+
+    u = L(x)
+    L_linear, u_linear = pivot.affine_to_linear(L, u, n)
+
+    c_poly_lhs = qc.Poly([gamma] + list(x))
+    c_poly_rhs = qc.Poly([L_linear.coeffs[n - (j + 1)] for j in range(n)])
+    c_poly = c_poly_lhs * c_poly_rhs
+
+    c_bar = list(c_poly.coeffs)
+    sectype = type(c_bar[0])
+    c_bar[n] = sectype(0)
+    assert len(pp["pp_lhs"]) == 2 * n
+    Q = await secure_repeat(pp["pp_lhs"], [-c for c in c_bar])
+    proof["Q"] = Q
+    return proof, u
+
+
+async def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0):
+    """Protocol 4 on shares (reference :141-203); z' opened at the base."""
+    proof = {} if proof is None else proof
+    order = k.order
+    while True:
+        half = len(g_hat) // 2
+        g_hat_l, g_hat_r = g_hat[:half], g_hat[half:]
+        z_hat_l, z_hat_r = z_hat[:half], z_hat[half:]
+        logger_cs_mpc.debug("Calculate A_i, B_i.")
+        A = await vector_commitment(
+            z_hat_l, _int(L_tilde([0] * half + z_hat_l)), g_hat_r, k
+        )
+        B = await vector_commitment(
+            z_hat_r, _int(L_tilde(z_hat_r + [0] * half)), g_hat_l, k
+        )
+        proof["A" + str(round_i)] = A
+        proof["B" + str(round_i)] = B
+
+        if is_elliptic(A):
+            input_list = [
+                A.normalize(),
+                B.normalize(),
+                g_hat,
+                k,
+                Q.normalize(),
+                L_tilde,
+            ]
+        else:
+            input_list = [A, B, g_hat, k, Q, L_tilde]
+        logger_cs_mpc_hin.debug(f"protocol_4_prover: input_list=\n{input_list}")
+        c = pivot.fiat_shamir_hash(input_list, order)
+        logger_cs_mpc_hout.debug(f"After hash, hash=\n{c}")
+
+        from ..ops.dispatch import fold_generators
+
+        g_hat = fold_generators(g_hat_l, g_hat_r, c)
+        Q = A * (Q ** c) * (B ** (c ** 2))
+
+        assert (
+            L_tilde.constant == 0
+        ), "Next line assumes L_tilde is a linear form, not affine form."
+        c_L = [coeff * gf(c) for coeff in L_tilde.coeffs[:half]]
+        L_tilde = pivot.LinearForm(c_L) + pivot.LinearForm(L_tilde.coeffs[half:])
+
+        z_hat = [z_hat_l[i] + c * z_hat_r[i] for i in range(half)]
+        if len(z_hat) <= 2:
+            z_hat = await mpc.output(z_hat)
+            logger_cs_mpc.debug("Provers opened z_prime")
+            proof["z_prime"] = z_hat
+            return proof
+        round_i += 1
+
+
+async def protocol_5_prover(generators, P, L, y, x, gamma, gf):
+    """Protocol 5 on shares (reference :206-269)."""
+    secfld = type(x[0])
+    g = generators["g"]
+    h = generators["h"]
+    k = generators["k"]
+
+    proof = {}
+    n = len(x)
+    L, y = pivot.affine_to_linear(L, y, n)
+    L.constant = await mpc.output(L.constant)
+
+    y = await mpc.output(y)
+    assert (
+        bin(n + 1).count("1") == 1
+    ), "This implementation requires n+1 to be power of 2 (else, use padding with zeros)."
+    logger_cs_mpc.debug("Provers opened y.")
+
+    order = gf.order
+    r = [mpc._random(secfld) for _ in range(n)]
+    rho = mpc._random(secfld)
+    t = L(r)
+    logger_cs_mpc.debug("Calculate A.")
+    A = await vector_commitment(r, rho, g, h)
+    t = await mpc.output(t)
+    proof["t"] = t
+    proof["A"] = A
+
+    if is_elliptic(A):
+        input_list = [t, A.normalize(), generators, P.normalize(), L, y]
+    else:
+        input_list = [t, A, generators, P, L, y]
+    logger_cs_mpc_hin.debug(f"protocol_5_prover: input_list=\n{input_list}")
+    c0 = pivot.fiat_shamir_hash(
+        input_list + [0] + ["First hash of compressed pivot"], order
+    )
+    c1 = pivot.fiat_shamir_hash(
+        input_list + [1] + ["First hash of compressed pivot"], order
+    )
+    logger_cs_mpc_hout.debug(f"After hash, hash=\n{c0}, {c1}")
+
+    z = [c0 * x_i + r[i] for i, x_i in enumerate(x)]
+    phi = c0 * gamma + rho
+    z_hat = z + [phi]
+    g_hat = g + [h]
+    logger_cs_mpc.debug("Calculate Q.")
+    Q = A * (P ** c0) * (k ** _int(c1 * (c0 * y + t)))
+    L_tilde = pivot.LinearForm(L.coeffs + [0]) * c1
+    return await protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof)
+
+
+def calculate_fgh_polys(a, b, c, gf, secfld):
+    """Masked f/g interpolation on shares (reference :272-284)."""
+    r_a = mpc._random(secfld)
+    r_b = mpc._random(secfld)
+    f_poly = qc.Poly(qc.lagrange_interp_ff(a + [r_a], gf))
+    g_poly = qc.Poly(qc.lagrange_interp_ff(b + [r_b], gf))
+    h_poly = f_poly * g_poly
+    return f_poly, g_poly, h_poly
+
+
+async def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
+    """Protocol 8 prover on shares (reference :287-423)."""
+    secfld = type(x[0])
+    if "g" in generators:
+        g = generators["g"]
+        h = generators["h"]
+    elif "pp_lhs" in generators:
+        use_koe = True
+        pp = generators
+    else:
+        raise NotImplementedError
+
+    logger_cs_mpc.debug("Calculate witness.")
+    n = len(x)
+    xc = cs.calculate_witness(code, x)
+    proof = {}
+    flatcode, inputs, varnames, r1cs = cs.code_to_flatcode_and_r1cs(code)
+
+    mul_indices_of_flatcode = cs.mul_in_flatcode(flatcode)
+    m = len(mul_indices_of_flatcode)
+    output_variables = [s for s in varnames if s.startswith("~out")]
+
+    logger_cs_mpc.debug("Calculate a, b, c vectors.")
+    a, b = cs.calculate_ab_vectors(r1cs, xc, mul_indices_of_flatcode)
+    c = mpc.schur_prod(list(a), list(b))
+    c = [secfld(v) for v in await c]
+
+    logger_cs_mpc.debug("Calculate z.")
+    f0 = mpc._random(secfld)
+    g0 = mpc._random(secfld)
+    a = [f0] + a
+    b = [g0] + b
+    a, b = await mpc.gather(a, b)
+    fs = recombine(gf, list(zip(range(m + 1), a)), list(range(m + 1, 2 * m + 1)))
+    gs = recombine(gf, list(zip(range(m + 1), b)), list(range(m + 1, 2 * m + 1)))
+    hs = list(map(secfld, await mpc.schur_prod(fs, gs)))
+    z = list(x) + [f0, g0, f0 * g0] + c + hs
+
+    gamma = mpc._random(secfld)
+
+    if use_koe:
+        S = range(len(z))
+        z_commitment_P, z_commitment_pi = await koe_restriction_argument_prover(
+            S, z, gamma, pp
+        )
+        z_commitment = {"P": z_commitment_P, "pi": z_commitment_pi}
+        proof["z_commitment"] = z_commitment
+    else:
+        logger_cs_mpc.debug("Calculate commitment for z, denoted by [z].")
+        z_commitment = await vector_commitment(z, gamma, g, h)
+        proof["z_commitment"] = z_commitment
+
+    input_list = [z_commitment, code, "First hash circuit satisfiability protocol"]
+    logger_cs_mpc_hin.debug(f"protocol_8 mpc prover (1): input_list={input_list}")
+    c_challenge = pivot.fiat_shamir_hash(input_list, gf.order)
+    logger_cs_mpc_hout.debug(f"After hash, hash=\n{c_challenge}")
+
+    linform_f, linform_g, linform_h = cs.create_fgh_linear_forms(
+        r1cs, c_challenge, varnames, flatcode, mul_indices_of_flatcode, n, m, gf
+    )
+
+    y1 = linform_f(z)
+    y2 = linform_g(z)
+    y3 = linform_h(z)
+    y1 = await mpc.output(y1)
+    y2 = await mpc.output(y2)
+    y3 = await mpc.output(y3)
+    assert y1 * y2 == y3
+    proof["y1"] = y1
+    proof["y2"] = y2
+    proof["y3"] = y3
+
+    circuits = []
+    outputs = []
+    for output_var in output_variables:
+        circuit = cs.express_as_x_or_gamma(output_var, flatcode, varnames, n)
+        y = circuit(z)
+        y = await mpc.output(y)
+        circuits.append(circuit)
+        outputs.append(y)
+    proof["outputs"] = outputs
+
+    lin_forms = [circuit - y for circuit, y in zip(circuits, outputs)] + [
+        linform_f - y1,
+        linform_g - y2,
+        linform_h - y3,
+    ]
+
+    input_list = [
+        y1,
+        y2,
+        y3,
+        z_commitment,
+        outputs,
+        circuits,
+        lin_forms,
+        "Second hash circuit satisfiability protocol",
+    ]
+    logger_cs_mpc_hin.debug(f"protocol_8 mpc prover (2): input_list={input_list}")
+    rho = pivot.fiat_shamir_hash(input_list, gf.order)
+    logger_cs_mpc_hout.debug(f"After hash, hash=\n{rho}")
+    L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
+    proof["L"] = L
+    return proof, z_commitment, L, z, gamma
+
+
+async def prove_linear_form_eval(g, h, P, L, y, x, gamma, gf):
+    """Plain pivot on shares (reference :426-463)."""
+    secfld = type(x[0])
+    n = len(x)
+    L, y = pivot.affine_to_linear(L, y, n)
+    y = await mpc.output(y)
+
+    r = [mpc._random(secfld) for _ in range(n)]
+    rho = mpc._random(secfld)
+
+    t = L(r)
+    A = await vector_commitment(r, rho, g, h)
+    t = await mpc.output(t)
+
+    if is_elliptic(A):
+        input_list = [t, A.normalize(), g, h, P.normalize(), L, y]
+    else:
+        input_list = [t, A, g, h, P, L, y]
+    logger_cs_mpc_hin.debug(f"prove_linear_form_eval: input_list={input_list}.")
+    c = pivot.fiat_shamir_hash(input_list, gf.order)
+    logger_cs_mpc_hout.debug(f"After hash, hash=\n{c}")
+    z = [c * x_i + r[i] for i, x_i in enumerate(x)]
+    phi = c * gamma + rho
+
+    z = await mpc.output(z)
+    phi = await mpc.output(phi)
+    return z, phi, c
+
+
+async def circuit_sat_prover(generators, code, x, gf, pivot_choice=cs.PivotChoice.compressed):
+    """Top-level MPC prover dispatch (reference :466-498)."""
+    logger_cs_mpc.debug(f"Enter circuit_sat_prover. pivot_choice={pivot_choice}")
+    proof, z_commitment, L, z, gamma = await protocol_8_excl_pivot_prover(
+        generators, code, x, gf
+    )
+
+    if pivot_choice == cs.PivotChoice.compressed:
+        pivot_proof = await protocol_5_prover(
+            generators, z_commitment, L, L(z), z, gamma, gf
+        )
+    elif pivot_choice == cs.PivotChoice.pivot:
+        g = generators["g"]
+        h = generators["h"]
+        pivot_proof = await prove_linear_form_eval(
+            g, h, z_commitment, L, L(z), z, gamma, gf
+        )
+    elif pivot_choice == cs.PivotChoice.koe:
+        L = proof["L"]
+        P = proof["z_commitment"]["P"]
+        pi = proof["z_commitment"]["pi"]
+        pivot_proof, u = await koe_opening_linear_form_prover(
+            L, z, gamma, generators, P, pi
+        )
+    else:
+        raise NotImplementedError
+    proof["pivot_proof"] = pivot_proof
+    return proof

@@ -1,0 +1,593 @@
+"""Shamir-MPC runtime: SPMD parties with an MPyC-parity API.
+
+Replaces the reference's dependency on ``mpyc.runtime.mpc`` (SURVEY.md "MPyC
+API surface"): ``start/shutdown/run``, ``SecFld/SecInt/SecGrp``, ``_random``,
+``gather``, ``output(raw=)``, ``transfer``, ``schur_prod``, ``if_else``,
+``to_bits`` — everything the verifiable-MPC protocol layer consumes.
+
+Execution model
+---------------
+The same (deterministic) party program runs once per party.  ``mpc.run(coro)``
+executes the single-party degenerate mode (m=1, threshold 0) exactly like the
+reference's test usage (reference test/test_demo_zkp_mpc_ac20.py runs demos
+with no -M flag).  ``run_multi(factory, m)`` runs m party programs
+concurrently on one asyncio loop, exchanging messages through an in-process
+hub; each communication op is tagged with a program-order id so message
+routing is deterministic regardless of task interleaving (the role MPyC's
+program counters play).
+
+Secure operations are lazy: ``a * b`` on shares returns immediately with a
+pending task; communication drains when the program awaits ``gather`` /
+``output`` / ``schur_prod`` — mirroring MPyC so the reference's synchronous
+call sites (e.g. circuit_builder gadgets) work unchanged.
+
+Comparison-style gadgets (``to_bits``, zero test) are provided by the hub as
+an *ideal functionality* (trusted-dealer simulation): shares go to the hub,
+which recombines, evaluates the predicate and deals fresh shares.  This is a
+faithful ideal-world simulation for the in-process runtime; a full
+bit-decomposition protocol can replace it without API changes.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import contextvars
+import functools
+import hashlib
+import random as _random
+import types
+
+from ..fields import GF, FiniteFieldElement
+from . import shamir
+
+_sysrand = _random.SystemRandom()
+
+_ctx_runtime: contextvars.ContextVar = contextvars.ContextVar("vmpc_runtime")
+
+
+class Hub:
+    """In-process message router + ideal-functionality dealer."""
+
+    def __init__(self, m):
+        self.m = m
+        self._boxes = {}  # (dst, src, op_id) -> Future
+        self._ideal = {}  # op_id -> {"shares": {pid: payload}, "fut": Future}
+
+    def _box(self, dst, src, op_id):
+        key = (dst, src, op_id)
+        fut = self._boxes.get(key)
+        if fut is None:
+            fut = asyncio.get_running_loop().create_future()
+            self._boxes[key] = fut
+        return fut
+
+    def send(self, src, dst, op_id, payload):
+        fut = self._box(dst, src, op_id)
+        fut.set_result(payload)
+
+    async def recv(self, dst, src, op_id):
+        fut = self._box(dst, src, op_id)
+        value = await fut
+        del self._boxes[(dst, src, op_id)]
+        return value
+
+    async def ideal_call(self, pid, op_id, payload, fn, field):
+        """Trusted-dealer functionality: collect every party's payload,
+        apply fn to the recombined secrets, deal fresh shares (seeded
+        deterministically per op so every party computes the same dealing)."""
+        entry = self._ideal.get(op_id)
+        if entry is None:
+            entry = {
+                "shares": {},
+                "fut": asyncio.get_running_loop().create_future(),
+            }
+            self._ideal[op_id] = entry
+        entry["shares"][pid] = payload
+        if len(entry["shares"]) == self.m and not entry["fut"].done():
+            per_party = [entry["shares"][i] for i in range(self.m)]
+            # payloads are lists of share values; recombine element-wise
+            secrets = []
+            for j in range(len(per_party[0])):
+                secrets.append(
+                    shamir.recombine_at_zero(
+                        field, [per_party[i][j] for i in range(self.m)]
+                    )
+                )
+            results = fn(secrets)
+            seed = int.from_bytes(
+                hashlib.sha256(repr(("ideal", op_id)).encode()).digest(), "big"
+            )
+            rnd = _random.Random(seed)
+            t = (self.m - 1) // 2
+            dealt = [
+                shamir.share(field, int(r), self.m, t, rnd) for r in results
+            ]
+            entry["fut"].set_result(dealt)
+        dealt = await entry["fut"]
+        self._ideal.pop(op_id, None)
+        return [field(row[pid]) for row in dealt]
+
+
+class SecureNumber:
+    """Shamir-shared number (SecFld/SecInt style).
+
+    ``share`` is a field element (resolved) or an asyncio Task producing one.
+    Public constants embed as degree-0 sharings.
+    """
+
+    __slots__ = ("df",)
+
+    is_secure_object = True
+    field = None  # GF class
+    bit_length = None  # set for SecInt-style types
+
+    def __init__(self, value=0):
+        cls = type(self)
+        if isinstance(value, SecureNumber):
+            self.df = value.df
+        elif isinstance(value, FiniteFieldElement):
+            self.df = cls.field(value.value)
+        elif isinstance(value, int):
+            self.df = cls.field(value)
+        else:
+            self.df = value  # Task / coroutine handle
+
+    # -- resolution --------------------------------------------------------
+    def _resolved(self):
+        return isinstance(self.df, FiniteFieldElement)
+
+    async def _value(self):
+        if self._resolved():
+            return self.df
+        value = await self.df
+        self.df = value
+        return value
+
+    # -- local (linear) arithmetic ----------------------------------------
+    def _lift2(self, other, fn):
+        cls = type(self)
+        if isinstance(other, SecureNumber):
+            if self._resolved() and other._resolved():
+                return cls(fn(self.df, other.df))
+            rt = _runtime()
+
+            async def later(a=self, b=other):
+                return fn(await a._value(), await b._value())
+
+            return cls(rt._task(later()))
+        if isinstance(other, (int, FiniteFieldElement)):
+            o = cls.field(other if isinstance(other, int) else other.value)
+            if self._resolved():
+                return cls(fn(self.df, o))
+            rt = _runtime()
+
+            async def later(a=self, o=o):
+                return fn(await a._value(), o)
+
+            return cls(rt._task(later()))
+        return NotImplemented
+
+    def __add__(self, other):
+        return self._lift2(other, lambda a, b: a + b)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._lift2(other, lambda a, b: a - b)
+
+    def __rsub__(self, other):
+        return self._lift2(other, lambda a, b: b - a)
+
+    def __neg__(self):
+        return self._lift2(0, lambda a, b: -a)
+
+    def __mul__(self, other):
+        if isinstance(other, SecureNumber):
+            return _runtime().mul(self, other)
+        return self._lift2(other, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def __pow__(self, exponent):
+        if exponent == -1:
+            return _runtime().reciprocal(self)
+        if exponent == 0:
+            return type(self)(1)
+        if exponent == 1:
+            return self
+        if exponent < -1:
+            raise NotImplementedError
+        result = self
+        for _ in range(exponent - 1):
+            result = result * self
+        return result
+
+    # -- comparisons (secure outputs) -------------------------------------
+    def __eq__(self, other):
+        diff = self - other
+        return _runtime().is_zero(diff)
+
+    def __ne__(self, other):
+        diff = self - other
+        one = type(self)(1)
+        return one - _runtime().is_zero(diff)
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.df!r})"
+
+    def __hash__(self):
+        return id(self)
+
+
+@functools.lru_cache(maxsize=None)
+def _sec_number_type(modulus: int, bit_length):
+    field = GF(modulus)
+    name = f"SecFld({modulus})" if bit_length is None else f"SecInt({bit_length})"
+    cls = type(name, (SecureNumber,), {"__slots__": ()})
+    cls.field = field
+    cls.bit_length = bit_length
+    return cls
+
+
+class Runtime:
+    """One party's runtime state."""
+
+    def __init__(self, pid: int, m: int, hub: Hub):
+        self.pid = pid
+        self.m = m
+        self.threshold = (m - 1) // 2
+        self.hub = hub
+        self._pc = 0
+        self.parties = [f"Party({i})" for i in range(m)]
+
+    # -- program-order op ids ---------------------------------------------
+    def _next_pc(self):
+        self._pc += 1
+        return self._pc
+
+    def _task(self, coro):
+        return asyncio.get_running_loop().create_task(coro)
+
+    # -- transport ---------------------------------------------------------
+    async def _exchange(self, op_id, payload):
+        """All-to-all: send payload, receive everyone's (list by pid)."""
+        if self.m == 1:
+            return [payload]
+        for dst in range(self.m):
+            if dst != self.pid:
+                self.hub.send(self.pid, dst, op_id, payload)
+        out = []
+        for src in range(self.m):
+            if src == self.pid:
+                out.append(payload)
+            else:
+                out.append(await self.hub.recv(self.pid, src, op_id))
+        return out
+
+    async def _scatter_gather(self, op_id, per_dst_payloads):
+        """Send per_dst_payloads[j] to party j; receive one payload from each."""
+        if self.m == 1:
+            return [per_dst_payloads[0]]
+        for dst in range(self.m):
+            if dst != self.pid:
+                self.hub.send(self.pid, dst, op_id, per_dst_payloads[dst])
+        out = []
+        for src in range(self.m):
+            if src == self.pid:
+                out.append(per_dst_payloads[self.pid])
+            else:
+                out.append(await self.hub.recv(self.pid, src, op_id))
+        return out
+
+    # -- lifecycle ---------------------------------------------------------
+    async def start(self):
+        await self.barrier()
+
+    async def shutdown(self):
+        await self.barrier()
+
+    async def barrier(self):
+        op_id = ("barrier", self._next_pc())
+        await self._exchange(op_id, None)
+
+    # -- sectype factories -------------------------------------------------
+    def SecFld(self, modulus=None):
+        return _sec_number_type(modulus, None)
+
+    def SecInt(self, l=32, p=None):
+        assert p is not None, "SecInt requires an explicit prime p here"
+        return _sec_number_type(p, l)
+
+    def SecGrp(self, group):
+        return types.SimpleNamespace(group=group)
+
+    # -- randomness --------------------------------------------------------
+    def _random(self, sectype):
+        base = ("rand", self._next_pc())
+        field = sectype.field
+
+        async def coro():
+            if self.m == 1:
+                return field(_sysrand.randrange(field.modulus))
+            # each party contributes a random sharing; sum is uniform
+            contrib = shamir.share(
+                field, _sysrand.randrange(field.modulus), self.m, self.threshold
+            )
+            received = await self._scatter_gather(base, contrib)
+            acc = 0
+            for r in received:
+                acc += r
+            return field(acc)
+
+        return sectype(self._task(coro()))
+
+    # -- multiplication / reciprocal / zero test --------------------------
+    def mul(self, a: SecureNumber, b: SecureNumber):
+        base = ("mul", self._next_pc())
+        cls = type(a)
+
+        async def coro():
+            av = await a._value()
+            bv = await b._value()
+            return await self._reduce_degree(base, av * bv)
+
+        return cls(self._task(coro()))
+
+    async def _reduce_degree(self, op_id, product_share):
+        """GRR degree reduction of a degree-2t product share."""
+        if self.m == 1:
+            return product_share
+        field = type(product_share)
+        sub = shamir.share(field, product_share.value, self.m, self.threshold)
+        received = await self._scatter_gather(op_id, sub)
+        lam = shamir.recombination_vector(field, self.m)
+        acc = 0
+        for r, l in zip(received, lam):
+            acc += int(r) * l
+        return field(acc)
+
+    def reciprocal(self, a: SecureNumber):
+        """Secure inverse via random masking: open r*a = c, a^-1 = r/c."""
+        base = ("inv", self._next_pc())
+        cls = type(a)
+        field = cls.field
+
+        async def coro():
+            attempt = 0
+            while True:
+                if self.m == 1:
+                    av = await a._value()
+                    return av.reciprocal()
+                r = self._random(cls)
+                rv = await r._value()
+                av = await a._value()
+                d = await self._reduce_degree(("inv-mul", base, attempt), rv * av)
+                opened = await self._open_share(("inv-open", base, attempt), d)
+                if opened.value != 0:
+                    return rv * opened.reciprocal()
+                attempt += 1
+
+        return cls(self._task(coro()))
+
+    def is_zero(self, a: SecureNumber):
+        """Secure zero test (ideal-functionality dealer)."""
+        base = ("iszero", self._next_pc())
+        cls = type(a)
+
+        async def coro():
+            av = await a._value()
+            res = await self.hub.ideal_call(
+                self.pid,
+                base,
+                [av],
+                lambda secrets: [1 if secrets[0].value == 0 else 0],
+                cls.field,
+            )
+            return res[0]
+
+        return cls(self._task(coro()))
+
+    def to_bits(self, a: SecureNumber, l=None):
+        """Secure bit decomposition (ideal-functionality dealer).
+
+        Returns l secure bits, LSB first, of the signed representative in
+        two's complement (parity with MPyC's to_bits usage in the gadgets,
+        reference circuit_builder.py:320-326).
+        """
+        cls = type(a)
+        l = l if l is not None else cls.bit_length
+        base = ("tobits", self._next_pc())
+
+        async def coro():
+            av = await a._value()
+
+            def fn(secrets):
+                v = int(secrets[0])  # signed representative
+                masked = v & ((1 << l) - 1)
+                return [(masked >> i) & 1 for i in range(l)]
+
+            return await self.hub.ideal_call(self.pid, base, [av], fn, cls.field)
+
+        task = self._task(coro())
+
+        bits = []
+        for i in range(l):
+
+            async def bit_i(i=i):
+                res = await task
+                return res[i]
+
+            bits.append(cls(self._task(bit_i())))
+        return bits
+
+    def if_else(self, c, a, b):
+        if isinstance(c, SecureNumber):
+            return c * (a - b) + b
+        return a if c else b
+
+    # -- opening / gathering / transfer ------------------------------------
+    async def _open_share(self, op_id, share_value):
+        received = await self._exchange(op_id, share_value)
+        if self.m == 1:
+            return received[0]
+        field = type(share_value)
+        return shamir.recombine_at_zero(field, received)
+
+    def output(self, x, raw=False):
+        single = not isinstance(x, list)
+        xs = [x] if single else list(x)
+        base = ("output", self._next_pc())
+
+        async def coro():
+            out = []
+            for i, xi in enumerate(xs):
+                if not isinstance(xi, SecureNumber):
+                    out.append(xi)
+                    continue
+                val = await xi._value()
+                opened = await self._open_share((base, i), val)
+                if raw or type(xi).bit_length is None:
+                    out.append(opened)
+                else:
+                    out.append(int(opened))
+            return out[0] if single else out
+
+        return self._task(coro())
+
+    def gather(self, *args):
+        async def resolve(obj):
+            if isinstance(obj, SecureNumber):
+                return await obj._value()
+            if isinstance(obj, list):
+                return [await resolve(o) for o in obj]
+            if isinstance(obj, asyncio.Task):
+                return await obj
+            return obj
+
+        async def coro():
+            out = [await resolve(a) for a in args]
+            return out[0] if len(args) == 1 else out
+
+        return self._task(coro())
+
+    def schur_prod(self, a, b):
+        """Element-wise secure product of share vectors; awaiting yields raw
+        field share values (parity with reference mpc_ac20.py:338 usage)."""
+        base = ("schur", self._next_pc())
+
+        async def coro():
+            av = []
+            for x in a:
+                av.append(await x._value() if isinstance(x, SecureNumber) else x)
+            bv = []
+            for x in b:
+                bv.append(await x._value() if isinstance(x, SecureNumber) else x)
+            prods = [x * y for x, y in zip(av, bv)]
+            if self.m == 1:
+                return prods
+            field = type(prods[0])
+            # batch resharing: one message round for the whole vector
+            subs = [
+                shamir.share(field, p.value, self.m, self.threshold)
+                for p in prods
+            ]
+            per_dst = [
+                [subs[j][dst] for j in range(len(prods))] for dst in range(self.m)
+            ]
+            received = await self._scatter_gather(base, per_dst)
+            lam = shamir.recombination_vector(field, self.m)
+            out = []
+            for j in range(len(prods)):
+                acc = 0
+                for i in range(self.m):
+                    acc += int(received[i][j]) * lam[i]
+                out.append(field(acc))
+            return out
+
+        return self._task(coro())
+
+    def transfer(self, obj, senders=None):
+        base = ("transfer", self._next_pc())
+
+        async def coro():
+            if senders is None:
+                return await self._exchange(base, obj)
+            if self.m == 1:
+                return obj
+            if self.pid == senders:
+                for dst in range(self.m):
+                    if dst != self.pid:
+                        self.hub.send(self.pid, dst, base, obj)
+                return obj
+            return await self.hub.recv(self.pid, senders, base)
+
+        return self._task(coro())
+
+    # -- driver -------------------------------------------------------------
+    def run(self, coro):
+        """Single-party degenerate mode (parity with reference tests)."""
+        assert self.m == 1
+
+        async def driver():
+            token = _ctx_runtime.set(self)
+            try:
+                return await coro
+            finally:
+                _ctx_runtime.reset(token)
+
+        return asyncio.run(driver())
+
+
+def _runtime() -> Runtime:
+    rt = _ctx_runtime.get(None)
+    if rt is None:
+        # default single-party runtime for ad-hoc use
+        rt = Runtime(0, 1, Hub(1))
+        _ctx_runtime.set(rt)
+    return rt
+
+
+class _RuntimeProxy:
+    """Module-level ``mpc`` singleton delegating to the current party's
+    runtime (parity with ``from mpyc.runtime import mpc``)."""
+
+    def __getattr__(self, name):
+        return getattr(_runtime(), name)
+
+    def run(self, coro):
+        rt = _ctx_runtime.get(None)
+        if rt is not None and rt.m == 1:
+            return rt.run(coro)
+        fresh = Runtime(0, 1, Hub(1))
+        return fresh.run(coro)
+
+
+mpc = _RuntimeProxy()
+
+
+def run_multi(party_program_factory, m: int):
+    """Run m party programs concurrently on one loop (in-process SPMD).
+
+    ``party_program_factory()`` must return a fresh coroutine; it runs once
+    per party, each under its own runtime context.  Returns the list of
+    per-party results.
+    """
+
+    async def driver():
+        hub = Hub(m)
+
+        async def run_party(pid):
+            rt = Runtime(pid, m, hub)
+            token = _ctx_runtime.set(rt)
+            try:
+                return await party_program_factory()
+            finally:
+                _ctx_runtime.reset(token)
+
+        tasks = [
+            asyncio.get_running_loop().create_task(run_party(pid))
+            for pid in range(m)
+        ]
+        return await asyncio.gather(*tasks)
+
+    return asyncio.run(driver())
