@@ -1,0 +1,114 @@
+"""Demo: Trinocchio multi-party SNARK.
+
+Parity with reference /root/reference/demos/demo_zkp_trinocchio.py: party 0
+acts as trusted dealer for the Pinocchio keys; every party computes a full
+Pinocchio proof over its Shamir shares (embarrassingly parallel); the proof
+shares are exchanged and Lagrange-recombined *in the exponent*; the public
+output wires are opened and the standard Pinocchio verifier runs.
+
+``-M3`` runs three in-process parties; the default is single-party mode.
+"""
+
+import argparse
+import pprint as pp
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import verifiable_mpc_tpu.trinocchio.pynocchio as pynocchio
+import verifiable_mpc_tpu.trinocchio.trinocchio as trinocchio
+import verifiable_mpc_tpu.tools.code_to_qap as c2q
+import verifiable_mpc_tpu.tools.poly as qc
+from verifiable_mpc_tpu.mpc.runtime import mpc, run_multi
+from verifiable_mpc_tpu.mpc import shamir
+
+
+async def main(verbose=True):
+    await mpc.start()
+    m = len(mpc.parties)
+    trusted_party_id = 0
+    if verbose:
+        print(f"MPC parties {mpc.parties}")
+        print(f"Trusted party PID: {trusted_party_id}")
+
+    secfld = mpc.SecFld(modulus=trinocchio.modulus)
+    gf = secfld.field
+    gf.is_signed = False
+
+    inputs = [secfld(3), secfld(2)]
+    code = """
+def qeval(x, y):
+    z = x**3 + 2*y**2
+    return z + x + 5
+"""
+
+    qap = c2q.QAP(code, gf)
+    if verbose:
+        print(f"QAP created. Size: {qap.m}, degree {qap.d}.")
+
+    # Trusted party's KeyGen step
+    if mpc.pid == trusted_party_id:
+        td = pynocchio.Trapdoor(trinocchio.modulus)
+        gen = pynocchio.Generators(td, trinocchio.g1, trinocchio.g2)
+        evalkey = pynocchio.generate_evalkey(td, qap, gen)
+        verikey = pynocchio.generate_verikey(td, qap, gen)
+    else:
+        evalkey = None
+        verikey = None
+
+    evalkey = await mpc.transfer(evalkey, trusted_party_id)
+    verikey = await mpc.transfer(verikey, trusted_party_id)
+    if verbose:
+        print("Trusted setup completed. Keysets received by parties.")
+
+    # Prover's steps: witness and h-polynomial stay share-local
+    c = qap.calculate_witness(inputs)
+    p = pynocchio.compute_p_poly(qap, c)
+    h, r = p / qap.t
+
+    c_shares = await mpc.gather(c)
+    h_coeffs_shares = await mpc.gather(h.coeffs)
+    h_shares = qc.Poly(h_coeffs_shares)
+    proof_input = pynocchio.compute_proof(qap, c_shares, h_shares, evalkey)
+    if verbose:
+        print("Proof computed.")
+
+    # Exchange proof shares and recombine in the exponent
+    proof_inputs = await mpc.transfer(proof_input)
+
+    lagrange_vect = shamir.recombination_vector(gf, m)
+    proof = {}
+    for key in proof_input.keys():
+        points_lambda = [
+            lagrange_vect[i] * proof_inputs[i][key] for i in range(m)
+        ]
+        proof[key] = pynocchio.apply_to_list(trinocchio.point_add, points_lambda)
+    if verbose:
+        print("Proof recombined.")
+
+    c_out = await mpc.output(c[1:])
+    c_out = [1] + c_out
+    c_client = c_out[: qap.out_ix + 1]
+
+    verifications = pynocchio.verify(qap, verikey, proof, c_client)
+    if verbose:
+        if all(verifications.values()):
+            print("All checks passed.")
+        else:
+            print("Not all checks passed.")
+        pp.pprint(verifications)
+
+    await mpc.shutdown()
+    return verifications
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-M", type=int, default=1, help="number of MPC parties (in-process)")
+    args = parser.parse_args()
+    if args.M <= 1:
+        mpc.run(main())
+    else:
+        run_multi(lambda: main(verbose=False), args.M)
+        print(f"{args.M}-party Trinocchio proof completed and verified.")
