@@ -2,8 +2,12 @@ import os
 
 # Protocol/kernel tests run on a virtual 8-device CPU mesh so that multi-chip
 # sharding is exercised without TPU hardware (bench runs on the real chip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# The axon sitecustomize forces JAX_PLATFORMS=axon, so override through the
+# jax config instead of the environment.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,247 @@
+"""Fixed-limb big-integer arithmetic for TPU (JAX/XLA).
+
+Data layout (SURVEY.md §7 "data layout first"): a 256-bit field element is a
+vector of L=16 limbs of 16 bits, stored in uint32 with the high half zero —
+products of two limbs then fit exactly in uint32, and column sums of the
+schoolbook multiplication stay below 2^21, so no 64-bit arithmetic is needed
+(TPUs have no native u64 multiply; SURVEY.md §7 hard part 2).
+
+All functions are pure jnp ops over arrays shaped [..., L]: they broadcast
+over arbitrary batch dimensions, contain no data-dependent control flow, and
+are jit/vmap/shard_map-compatible.  Modular multiplication is Montgomery
+(separated REDC).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LIMB_BITS = 16
+LIMBS = 16  # 256 bits
+MASK = (1 << LIMB_BITS) - 1
+
+
+# ---------------------------------------------------------------------------
+# host <-> limb conversions (numpy, not traced)
+# ---------------------------------------------------------------------------
+
+
+def int_to_limbs(x: int, limbs: int = LIMBS) -> np.ndarray:
+    out = np.zeros(limbs, dtype=np.uint32)
+    for i in range(limbs):
+        out[i] = x & MASK
+        x >>= LIMB_BITS
+    assert x == 0, "value too large for limb count"
+    return out
+
+
+def ints_to_limbs(xs, limbs: int = LIMBS) -> np.ndarray:
+    """Vectorized batch conversion via a byte view."""
+    n = len(xs)
+    nbytes = limbs * LIMB_BITS // 8
+    buf = bytearray(n * nbytes)
+    for i, x in enumerate(xs):
+        buf[i * nbytes : (i + 1) * nbytes] = int(x).to_bytes(nbytes, "little")
+    arr = np.frombuffer(bytes(buf), dtype=np.uint16).reshape(n, limbs)
+    return arr.astype(np.uint32)
+
+
+def limbs_to_int(limbs_arr) -> int:
+    x = 0
+    arr = np.asarray(limbs_arr)
+    for i in range(arr.shape[-1] - 1, -1, -1):
+        x = (x << LIMB_BITS) | int(arr[i])
+    return x
+
+
+def limbs_to_ints(arr) -> list:
+    arr = np.asarray(arr).astype(np.uint16)
+    n, limbs = arr.shape
+    raw = arr.tobytes()
+    nbytes = limbs * 2
+    return [
+        int.from_bytes(raw[i * nbytes : (i + 1) * nbytes], "little")
+        for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# traced limb arithmetic
+# ---------------------------------------------------------------------------
+
+
+def mul_wide(a, b):
+    """Full product of two [..., L] limb vectors -> [..., 2L] limb vector.
+
+    Schoolbook with lo/hi split so every accumulator stays < 2^21 < 2^32.
+    """
+    L = a.shape[-1]
+    cols = jnp.zeros(a.shape[:-1] + (2 * L + 1,), dtype=jnp.uint32)
+    for i in range(L):
+        prod = a[..., i : i + 1] * b  # [..., L] u32, exact
+        lo = prod & MASK
+        hi = prod >> LIMB_BITS
+        cols = cols.at[..., i : i + L].add(lo)
+        cols = cols.at[..., i + 1 : i + L + 1].add(hi)
+    return _carry(cols)[..., : 2 * L]
+
+
+def mul_low(a, b, out_limbs=None):
+    """Low half of the product (mod 2^(16*out_limbs))."""
+    L = a.shape[-1]
+    out_limbs = out_limbs or L
+    cols = jnp.zeros(a.shape[:-1] + (out_limbs + 1,), dtype=jnp.uint32)
+    for i in range(min(L, out_limbs)):
+        width = min(L, out_limbs - i)
+        prod = a[..., i : i + 1] * b[..., :width]
+        lo = prod & MASK
+        hi = prod >> LIMB_BITS
+        cols = cols.at[..., i : i + width].add(lo)
+        cols = cols.at[..., i + 1 : i + width + 1].add(hi)
+    return _carry(cols)[..., :out_limbs]
+
+
+def _carry(cols):
+    """Propagate carries so every limb is < 2^16 (sequential static scan)."""
+    n = cols.shape[-1]
+    out = []
+    c = jnp.zeros(cols.shape[:-1], dtype=jnp.uint32)
+    for k in range(n):
+        v = cols[..., k] + c
+        out.append(v & MASK)
+        c = v >> LIMB_BITS
+    return jnp.stack(out, axis=-1)
+
+
+def add_raw(a, b):
+    """a + b with carry, same limb count (assumes no overflow past top)."""
+    s = a + b
+    return _carry(s)
+
+
+def _borrow_sub(a, b):
+    """a - b -> (diff, borrow_out) elementwise over limbs."""
+    n = a.shape[-1]
+    out = []
+    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
+    for k in range(n):
+        # compute in uint32: a - b - borrow + 2^16, track wraparound
+        v = a[..., k] + (1 << LIMB_BITS) - b[..., k] - borrow
+        out.append(v & MASK)
+        borrow = 1 - (v >> LIMB_BITS)  # 1 if we wrapped (a < b + borrow)
+    return jnp.stack(out, axis=-1), borrow
+
+
+def geq(a, b):
+    """a >= b as a boolean [..., ] mask."""
+    _, borrow = _borrow_sub(a, b)
+    return borrow == 0
+
+
+def cond_sub(a, p_limbs):
+    """a - p if a >= p else a."""
+    diff, borrow = _borrow_sub(a, p_limbs)
+    keep = (borrow != 0)[..., None]
+    return jnp.where(keep, a, diff)
+
+
+def add_mod(a, b, p_limbs):
+    # a + b can exceed 2^256 for moduli close to the limb capacity (BN256 p),
+    # so carry into an extra limb before the conditional subtract.
+    L = a.shape[-1]
+    ext = jnp.zeros(a.shape[:-1] + (1,), dtype=jnp.uint32)
+    s = _carry(jnp.concatenate([a + b, ext], axis=-1))
+    p_ext = jnp.concatenate(
+        [jnp.broadcast_to(p_limbs, a.shape), ext], axis=-1
+    )
+    diff, borrow = _borrow_sub(s, p_ext)
+    return jnp.where((borrow == 0)[..., None], diff, s)[..., :L]
+
+
+def sub_mod(a, b, p_limbs):
+    diff, borrow = _borrow_sub(a, b)
+    corrected = _carry(diff + p_limbs)[..., : a.shape[-1]]
+    return jnp.where((borrow != 0)[..., None], corrected, diff)
+
+
+class MontCtx:
+    """Per-modulus constants for Montgomery arithmetic (device-resident)."""
+
+    def __init__(self, p: int, limbs: int = LIMBS):
+        self.p = p
+        self.limbs = limbs
+        self.bits = limbs * LIMB_BITS
+        R = 1 << self.bits
+        self.R = R
+        self.p_limbs = jnp.asarray(int_to_limbs(p, limbs))
+        self.n_prime = (-pow(p, -1, R)) % R
+        self.n_prime_limbs = jnp.asarray(int_to_limbs(self.n_prime, limbs))
+        self.r2 = R * R % p
+        self.r2_limbs = jnp.asarray(int_to_limbs(self.r2, limbs))
+        self.one_mont = jnp.asarray(int_to_limbs(R % p, limbs))
+        self.zero = jnp.asarray(int_to_limbs(0, limbs))
+
+    # -- Montgomery core ---------------------------------------------------
+    def redc(self, t_wide):
+        """REDC: t_wide [..., 2L] -> t_wide * R^-1 mod p, [..., L]."""
+        L = self.limbs
+        t_lo = t_wide[..., :L]
+        m = mul_low(t_lo, self.n_prime_limbs, L)
+        mn = mul_wide(m, self.p_limbs)  # [..., 2L]
+        # t + m*n: low half becomes zero; compute full sum with carries
+        total = jnp.concatenate(
+            [t_wide, jnp.zeros(t_wide.shape[:-1] + (1,), jnp.uint32)], axis=-1
+        )
+        total = total.at[..., : 2 * L].add(mn)
+        total = _carry(total)
+        hi = total[..., L : 2 * L + 1]
+        # result < 2p fits in L limbs + possible top bit in limb L
+        top = hi[..., L - 1 + 1 :]  # the (L+1)-th limb (carry bit)
+        res = hi[..., :L]
+        # if top bit set, subtract p once more (res + 2^256 >= p always)
+        diff, borrow = _borrow_sub(res, self.p_limbs)
+        need_sub = (top[..., 0] != 0) | (borrow == 0)
+        return jnp.where(need_sub[..., None], diff, res)
+
+    def mul(self, a, b):
+        return self.redc(mul_wide(a, b))
+
+    def square(self, a):
+        return self.redc(mul_wide(a, a))
+
+    def to_mont(self, a):
+        return self.redc(mul_wide(a, self.r2_limbs))
+
+    def from_mont(self, a):
+        L = self.limbs
+        t = jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (L,), jnp.uint32)], axis=-1)
+        return self.redc(t)
+
+    def add(self, a, b):
+        return add_mod(a, b, self.p_limbs)
+
+    def sub(self, a, b):
+        return sub_mod(a, b, self.p_limbs)
+
+    def neg(self, a):
+        return sub_mod(jnp.broadcast_to(self.zero, a.shape), a, self.p_limbs)
+
+    # -- host helpers ------------------------------------------------------
+    def encode(self, xs) -> jnp.ndarray:
+        """ints -> Montgomery-domain device limbs [n, L]."""
+        arr = ints_to_limbs([x % self.p for x in xs], self.limbs)
+        return self.to_mont(jnp.asarray(arr))
+
+    def decode(self, arr) -> list:
+        """Montgomery-domain device limbs -> list of ints."""
+        plain = self.from_mont(arr)
+        return limbs_to_ints(np.asarray(plain))
+
+
+@functools.lru_cache(maxsize=None)
+def mont_ctx(p: int, limbs: int = LIMBS) -> MontCtx:
+    return MontCtx(p, limbs)
