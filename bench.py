@@ -1,0 +1,92 @@
+"""Benchmark: MSM points/sec/chip on the TPU kernel vs the pure-Python rate.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference (toonsegers/verifiable_mpc) publishes no numbers and its MPyC
+dependency is not installable here (BASELINE.md), so the baseline is the
+measured pure-Python host rate of the same Pedersen/MSM primitive — an
+honest stand-in for the reference's sequential-loop commitment
+(reference pivot.py:139-145), whose per-point cost is size-independent.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from verifiable_mpc_tpu.groups.edwards import ELL, EdwardsPoint
+    from verifiable_mpc_tpu.ops import curve_ed as ced
+    from verifiable_mpc_tpu.ops import dispatch
+    from verifiable_mpc_tpu.ops import msm as msm_mod
+
+    rng = np.random.RandomState(42)
+    g = EdwardsPoint.generator
+
+    # ---- baseline: pure-Python multiexp rate (per point), small sample ----
+    n_base = 64
+    base_pts = [g ** int(e) for e in rng.randint(1, 1 << 62, n_base)]
+    base_scalars = [int(s) | (1 << 250) for s in rng.randint(1, 1 << 62, n_base)]
+    t0 = time.perf_counter()
+    dispatch._host_multiexp(base_pts, base_scalars)
+    t_host = time.perf_counter() - t0
+    host_rate = n_base / t_host
+    print(f"host python MSM: {host_rate:.1f} points/s", file=sys.stderr)
+
+    # ---- TPU kernel rate at bench size -----------------------------------
+    n = 1 << 14
+    chunk = 256
+    pts_small = [g ** int(e) for e in rng.randint(1, 1 << 62, 256)]
+    pts = [pts_small[i % 256] for i in range(n)]  # distinct-enough bases
+    scalars = [int.from_bytes(rng.bytes(31), "little") % ELL for i in range(n)]
+
+    t0 = time.perf_counter()
+    dev_pts = ced.encode_points(pts)
+    bits_host = msm_mod._scalar_bits(scalars)
+    print(f"encode: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+
+    import jax.numpy as jnp
+
+    bits = jnp.asarray(bits_host)
+    kern = msm_mod._msm_kernel(n, chunk)
+    t0 = time.perf_counter()
+    out = kern(dev_pts, bits)
+    jax.block_until_ready(out)
+    print(f"compile+first run: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = kern(dev_pts, bits)
+    jax.block_until_ready(out)
+    t_kernel = (time.perf_counter() - t0) / reps
+    tpu_rate = n / t_kernel
+    print(
+        f"TPU MSM n=2^14: {t_kernel:.3f}s/msm -> {tpu_rate:.0f} points/s",
+        file=sys.stderr,
+    )
+
+    # correctness spot check on a small prefix
+    small = msm_mod.msm(pts[:32], scalars[:32], chunk=32)
+    expect = dispatch._host_multiexp(pts[:32], scalars[:32])
+    assert small == expect, "MSM correctness check failed"
+
+    print(
+        json.dumps(
+            {
+                "metric": "msm_points_per_sec_per_chip_ed25519",
+                "value": round(tpu_rate, 1),
+                "unit": "points/s",
+                "vs_baseline": round(tpu_rate / host_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Batched Ed25519 point arithmetic on TPU (extended twisted Edwards).
+
+Points are struct-of-arrays: four limb tensors (X, Y, Z, T), each [..., 16]
+uint32 in the Montgomery domain of GF(2^255 - 19).  The unified
+add-2008-hwcd-3 formulas are complete on the prime-order subgroup, so there
+is no data-dependent control flow anywhere — identity, doubling and general
+addition all take the same vectorized path (the property that makes Edwards
+the right curve for SIMD/vector hardware; SURVEY.md §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..groups.edwards import D, P as ED_P, EdwardsPoint
+from . import limbs as lb
+
+CTX = None  # initialized lazily to keep jax import cost off the module path
+
+
+def ctx():
+    global CTX
+    if CTX is None:
+        CTX = lb.mont_ctx(ED_P)
+        CTX.two_d_mont = CTX.to_mont(jnp.asarray(lb.int_to_limbs(2 * D % ED_P)))
+    return CTX
+
+
+def identity(batch_shape=()):
+    """(0 : 1 : 1 : 0) in Montgomery limbs, broadcast to batch_shape."""
+    c = ctx()
+    zero = jnp.broadcast_to(c.zero, batch_shape + (c.limbs,))
+    one = jnp.broadcast_to(c.one_mont, batch_shape + (c.limbs,))
+    return (zero, one, one, zero)
+
+
+def add(p, q):
+    """Unified addition (add-2008-hwcd-3): 9 modmuls, complete."""
+    c = ctx()
+    x1, y1, z1, t1 = p
+    x2, y2, z2, t2 = q
+    a = c.mul(c.sub(y1, x1), c.sub(y2, x2))
+    b = c.mul(c.add(y1, x1), c.add(y2, x2))
+    cc = c.mul(c.mul(t1, c.two_d_mont), t2)
+    d = c.mul(c.add(z1, z1), z2)
+    e = c.sub(b, a)
+    f = c.sub(d, cc)
+    g = c.add(d, cc)
+    h = c.add(b, a)
+    return (c.mul(e, f), c.mul(g, h), c.mul(f, g), c.mul(e, h))
+
+
+def double(p):
+    return add(p, p)
+
+
+def select(mask, p, q):
+    """mask ? p : q, elementwise over the batch dims (mask: [...])."""
+    m = mask[..., None]
+    return tuple(jnp.where(m, a, b) for a, b in zip(p, q))
+
+
+def negate(p):
+    c = ctx()
+    x, y, z, t = p
+    return (c.neg(x), y, z, c.neg(t))
+
+
+def reduce_lanes(p, axis=0):
+    """Sum (group op) a power-of-two lane dimension down to one point.
+
+    Butterfly all-reduce via rotations inside a scan — a single adder in the
+    traced graph regardless of the lane count (keeps XLA compile time flat).
+    """
+    import numpy as np
+    import jax
+
+    n = p[0].shape[axis]
+    assert n & (n - 1) == 0, "lane count must be a power of two"
+    if n == 1:
+        return tuple(jnp.take(a, 0, axis=axis) for a in p)
+    shifts = jnp.asarray([1 << k for k in range(int(np.log2(n)))], jnp.int32)
+
+    def step(acc, shift):
+        rolled = tuple(jnp.roll(a, shift, axis=axis) for a in acc)
+        return add(acc, rolled), None
+
+    acc, _ = jax.lax.scan(step, p, shifts)
+    return tuple(jnp.take(a, 0, axis=axis) for a in acc)
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion
+# ---------------------------------------------------------------------------
+
+
+def encode_points(points) -> tuple:
+    """List of EdwardsPoint -> Montgomery limb tensors ([n, 16] each)."""
+    c = ctx()
+    xs, ys, zs, ts = [], [], [], []
+    for pt in points:
+        xs.append(pt.x)
+        ys.append(pt.y)
+        zs.append(pt.z)
+        ts.append(pt.t)
+    to_mont = c._jit("to_mont", c.to_mont)
+
+    def enc(vals):
+        return to_mont(jnp.asarray(lb.ints_to_limbs(vals)))
+    return (enc(xs), enc(ys), enc(zs), enc(ts))
+
+
+def decode_points(dev) -> list:
+    """Montgomery limb tensors -> list of EdwardsPoint."""
+    c = ctx()
+    from_mont = c._jit("from_mont", c.from_mont)
+    coords = [lb.limbs_to_ints(np.asarray(from_mont(a))) for a in dev]
+    out = []
+    for x, y, z, t in zip(*coords):
+        out.append(EdwardsPoint(x, y, z, t))
+    return out
+
+
+def decode_point(dev) -> EdwardsPoint:
+    return decode_points(tuple(a[None] if a.ndim == 1 else a for a in dev))[0]

@@ -74,35 +74,49 @@ def limbs_to_ints(arr) -> list:
 # ---------------------------------------------------------------------------
 
 
-def mul_wide(a, b):
-    """Full product of two [..., L] limb vectors -> [..., 2L] limb vector.
+@functools.lru_cache(maxsize=None)
+def _acc_matrix(L: int, out_cols: int):
+    """One-hot anti-diagonal accumulation matrix [2*L*L, out_cols].
 
-    Schoolbook with lo/hi split so every accumulator stays < 2^21 < 2^32.
+    Row (0, i, j) routes the low half of a_i*b_j to column i+j; row (1, i, j)
+    routes the high half to column i+j+1.  Column sums stay below
+    2*L*(2^16-1) < 2^21, exactly representable in f32 (24-bit mantissa), so
+    the accumulation runs as a single f32 matmul — this is the MXU mapping
+    of schoolbook limb multiplication.
     """
-    L = a.shape[-1]
-    cols = jnp.zeros(a.shape[:-1] + (2 * L + 1,), dtype=jnp.uint32)
+    T = np.zeros((2, L, L, out_cols), np.float32)
     for i in range(L):
-        prod = a[..., i : i + 1] * b  # [..., L] u32, exact
-        lo = prod & MASK
-        hi = prod >> LIMB_BITS
-        cols = cols.at[..., i : i + L].add(lo)
-        cols = cols.at[..., i + 1 : i + L + 1].add(hi)
-    return _carry(cols)[..., : 2 * L]
+        for j in range(L):
+            if i + j < out_cols:
+                T[0, i, j, i + j] = 1.0
+            if i + j + 1 < out_cols:
+                T[1, i, j, i + j + 1] = 1.0
+    # cache the numpy value (a jnp constant created inside a trace would leak
+    # a tracer out through the lru_cache)
+    return T.reshape(2 * L * L, out_cols)
+
+
+def _mul_cols(a, b, out_cols):
+    L = a.shape[-1]
+    prod = a[..., :, None] * b[..., None, :]  # [..., L, L] u32, exact
+    lo = (prod & MASK).astype(jnp.float32).reshape(a.shape[:-1] + (L * L,))
+    hi = (prod >> LIMB_BITS).astype(jnp.float32).reshape(a.shape[:-1] + (L * L,))
+    stacked = jnp.concatenate([lo, hi], axis=-1)  # [..., 2*L*L]
+    cols = jnp.matmul(stacked, jnp.asarray(_acc_matrix(L, out_cols)))
+    return cols.astype(jnp.uint32)
+
+
+def mul_wide(a, b):
+    """Full product of two [..., L] limb vectors -> [..., 2L] limb vector."""
+    L = a.shape[-1]
+    return _carry(_mul_cols(a, b, 2 * L + 1))[..., : 2 * L]
 
 
 def mul_low(a, b, out_limbs=None):
     """Low half of the product (mod 2^(16*out_limbs))."""
     L = a.shape[-1]
     out_limbs = out_limbs or L
-    cols = jnp.zeros(a.shape[:-1] + (out_limbs + 1,), dtype=jnp.uint32)
-    for i in range(min(L, out_limbs)):
-        width = min(L, out_limbs - i)
-        prod = a[..., i : i + 1] * b[..., :width]
-        lo = prod & MASK
-        hi = prod >> LIMB_BITS
-        cols = cols.at[..., i : i + width].add(lo)
-        cols = cols.at[..., i + 1 : i + width + 1].add(hi)
-    return _carry(cols)[..., :out_limbs]
+    return _carry(_mul_cols(a, b, out_limbs + 1))[..., :out_limbs]
 
 
 def _carry(cols):
@@ -231,14 +245,22 @@ class MontCtx:
         return sub_mod(jnp.broadcast_to(self.zero, a.shape), a, self.p_limbs)
 
     # -- host helpers ------------------------------------------------------
+    def _jit(self, name, fn):
+        key = "_jit_" + name
+        cached = getattr(self, key, None)
+        if cached is None:
+            cached = jax.jit(fn)
+            setattr(self, key, cached)
+        return cached
+
     def encode(self, xs) -> jnp.ndarray:
         """ints -> Montgomery-domain device limbs [n, L]."""
         arr = ints_to_limbs([x % self.p for x in xs], self.limbs)
-        return self.to_mont(jnp.asarray(arr))
+        return self._jit("to_mont", self.to_mont)(jnp.asarray(arr))
 
     def decode(self, arr) -> list:
         """Montgomery-domain device limbs -> list of ints."""
-        plain = self.from_mont(arr)
+        plain = self._jit("from_mont", self.from_mont)(arr)
         return limbs_to_ints(np.asarray(plain))
 
 
