@@ -16,3 +16,15 @@ __version__ = "0.1.0"
 
 from . import fields
 from . import groups
+
+
+def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256):
+    """Install the TPU kernel backends (MSM / generator fold / batch-exp over
+    Ed25519, NTT polynomial products) behind the host protocol layer.
+
+    Imports jax lazily; host-only deployments never pay for it.
+    """
+    from .ops import msm, ntt
+
+    msm.register(min_msm_batch)
+    ntt.register(min_poly_len)

@@ -145,27 +145,33 @@ class Circuit:
 
     def multiplication_triples(self, inputs):
         """Left/right/output wire values for all mul-gates
-        (reference circuit_builder.py:133-151), linear-time via memoized
-        forms."""
+        (reference circuit_builder.py:133-151).
+
+        Uses memoized *sparse* wire forms and an in-place value vector, so
+        the whole pass is O(total nonzeros) instead of the reference's
+        O(m^2) dense evaluation — required at 2^16 gates."""
         mul_gs = self.mul_gates()
-        left_forms = [construct_affine_form(g, self, wire=0) for g in mul_gs]
-        right_forms = [construct_affine_form(g, self, wire=1) for g in mul_gs]
+        left_forms = [construct_sparse_form(g, self, wire=0) for g in mul_gs]
+        right_forms = [construct_sparse_form(g, self, wire=1) for g in mul_gs]
         alpha = [0] * self.mul_ct
         beta = [0] * self.mul_ct
         gamma = [0] * self.mul_ct
+        vals = list(inputs) + gamma
+        n = self.input_ct
         for i in range(self.mul_ct):
-            vals = list(inputs) + gamma
-            alpha[i] = left_forms[i](vals)
-            beta[i] = right_forms[i](vals)
+            alpha[i] = left_forms[i].eval(vals)
+            beta[i] = right_forms[i].eval(vals)
             gamma[i] = alpha[i] * beta[i]
+            vals[n + i] = gamma[i]
         return alpha, beta, gamma
 
     def eval(self, inputs, gate):
         _, _, gamma = self.multiplication_triples(inputs)
-        form_l = construct_affine_form(gate, self, wire=0)
-        form_r = construct_affine_form(gate, self, wire=1)
-        left = form_l(list(inputs) + gamma)
-        right = form_r(list(inputs) + gamma)
+        form_l = construct_sparse_form(gate, self, wire=0)
+        form_r = construct_sparse_form(gate, self, wire=1)
+        vals = list(inputs) + gamma
+        left = form_l.eval(vals)
+        right = form_r.eval(vals)
         if gate.op == op.add:
             return left + right
         if gate.op in (op.mul, op.scalar_mul):
@@ -418,60 +424,90 @@ def _print_out_gate(circuit, gate, level, out):
 # ---------------------------------------------------------------------------
 
 
-def construct_affine_form(gate, circuit, wire=None):
-    """Affine form over [inputs || mul-gate outputs] for a gate wire.
+class SparseForm:
+    """Sparse affine form: {index: coeff} + constant over
+    [inputs || mul-gate outputs]."""
 
-    Memoized per (gate, wire); overall linear in circuit size.
+    __slots__ = ("coeffs", "constant")
+
+    def __init__(self, coeffs=None, constant=0):
+        self.coeffs = coeffs if coeffs is not None else {}
+        self.constant = constant
+
+    def eval(self, values):
+        result = self.constant
+        for i, c in self.coeffs.items():
+            result = c * values[i] + result
+        return result
+
+    def scaled(self, s):
+        return SparseForm(
+            {i: c * s for i, c in self.coeffs.items()}, self.constant * s
+        )
+
+    def plus(self, other):
+        coeffs = dict(self.coeffs)
+        for i, c in other.coeffs.items():
+            coeffs[i] = coeffs.get(i, 0) + c
+        return SparseForm(coeffs, self.constant + other.constant)
+
+    def to_affine(self, width):
+        dense = [0] * width
+        for i, c in self.coeffs.items():
+            dense[i] = dense[i] + c
+        return AffineForm(dense, self.constant)
+
+
+def construct_sparse_form(gate, circuit, wire=None) -> SparseForm:
+    """Sparse affine form over [inputs || mul-gate outputs] for a gate wire.
+
+    Memoized per (gate, wire); overall linear in total fan-in.
     """
     key = (id(gate), wire)
     cached = circuit._form_cache.get(key)
     if cached is not None:
         return cached
 
-    width = circuit.input_ct + circuit.mul_ct
-
-    def zero_form():
-        return AffineForm([0] * width, 0)
-
     def for_wire(g, w):
-        ret = zero_form()
         inp = g.inputs[w]
         if not isinstance(inp, CircuitVar):
-            ret.constant += inp
-        elif inp.input_index is not None:
-            ret.coeffs[inp.input_index] += 1
-        else:
-            child = circuit.gate_by_output_name(inp.name)
-            if child.op == op.mul:
-                ret.coeffs[circuit.input_ct + child.mul_index] += 1
-            elif child.op in (op.add, op.scalar_mul):
-                ret = construct_affine_form(child, circuit, wire=None)
-            else:
-                raise ValueError
-        return ret
+            return SparseForm({}, inp)
+        if inp.input_index is not None:
+            return SparseForm({inp.input_index: 1}, 0)
+        child = circuit.gate_by_output_name(inp.name)
+        if child.op == op.mul:
+            return SparseForm({circuit.input_ct + child.mul_index: 1}, 0)
+        if child.op in (op.add, op.scalar_mul):
+            return construct_sparse_form(child, circuit, wire=None)
+        raise ValueError
 
     if wire is not None:
         ret = for_wire(gate, wire)
     else:
         if gate.op == op.add:
-            ret = for_wire(gate, 0) + for_wire(gate, 1)
+            ret = for_wire(gate, 0).plus(for_wire(gate, 1))
         elif gate.op == op.scalar_mul:
             if isinstance(gate.inputs[0], CircuitVar):
-                ret = for_wire(gate, 0) * gate.inputs[1]
+                ret = for_wire(gate, 0).scaled(gate.inputs[1])
             elif isinstance(gate.inputs[1], CircuitVar):
-                ret = for_wire(gate, 1) * gate.inputs[0]
+                ret = for_wire(gate, 1).scaled(gate.inputs[0])
             else:
-                ret = zero_form()
-                ret.constant = gate.inputs[0] * gate.inputs[1]
+                ret = SparseForm({}, gate.inputs[0] * gate.inputs[1])
         elif gate.op == op.mul:
             assert gate.output.output_index is not None
-            ret = zero_form()
-            ret.coeffs[circuit.input_ct + gate.mul_index] = 1
+            ret = SparseForm({circuit.input_ct + gate.mul_index: 1}, 0)
         else:
             raise ValueError
 
     circuit._form_cache[key] = ret
     return ret
+
+
+def construct_affine_form(gate, circuit, wire=None):
+    """Dense AffineForm view of :func:`construct_sparse_form`
+    (API parity with reference circuit_builder.py:417-498)."""
+    width = circuit.input_ct + circuit.mul_ct
+    return construct_sparse_form(gate, circuit, wire).to_affine(width)
 
 
 def convert_to_ac20(form, circuit):
@@ -490,18 +526,28 @@ def convert_to_ac20(form, circuit):
 
 def calculate_fg_form(circuit, wire, challenge, gf):
     """Linear form giving f(c) (wire=0) or g(c) (wire=1) as a function of z
-    (reference circuit_builder.py:517-530)."""
-    forms = [construct_affine_form(g, circuit, wire) for g in circuit.mul_gates()]
-    forms = [convert_to_ac20(f, circuit) for f in forms]
+    (reference circuit_builder.py:517-530).
 
-    lagr_vect = lagrange(gf, range(circuit.mul_ct + 1), challenge)
+    Accumulates the Lagrange-weighted sparse wire forms directly into the
+    z-layout — O(total nonzeros), not O(m^2)."""
+    n_in = circuit.input_ct
+    m = circuit.mul_ct
+    width = n_in + 3 + 2 * m
+    lagr_vect = lagrange(gf, range(m + 1), challenge)
 
-    form = AffineForm(
-        [0] * circuit.input_ct + [0, 0, 0] + [0] * 2 * circuit.mul_ct, 0
-    )
-    form.coeffs[circuit.input_ct + wire] = 1 * lagr_vect[0]
-    form += sum(forms[j] * l_j for j, l_j in enumerate(lagr_vect[1:]))
-    return form
+    dense = [0] * width
+    constant = 0
+    dense[n_in + wire] = 1 * lagr_vect[0]
+    for j, g in enumerate(circuit.mul_gates()):
+        l_j = lagr_vect[j + 1]
+        sf = construct_sparse_form(g, circuit, wire)
+        for idx, coeff in sf.coeffs.items():
+            # convert_to_ac20 index map: inputs keep their slot, mul outputs
+            # shift past the f(0), g(0), h(0) slots
+            z_idx = idx if idx < n_in else idx + 3
+            dense[z_idx] = dense[z_idx] + coeff * l_j
+        constant = constant + sf.constant * l_j
+    return AffineForm(dense, constant)
 
 
 def calculate_h_form(circuit, challenge, gf):

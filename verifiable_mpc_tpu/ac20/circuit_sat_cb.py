@@ -20,6 +20,7 @@ from .circuit_sat_r1cs import (  # noqa: F401 (re-exports are part of the API)
     PivotChoice,
     calculate_fgh_polys,
     create_generators,
+    evaluate_at_range,
     lagrange,
     next_power_of_2,
 )
@@ -66,7 +67,7 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
 
     f_poly, g_poly, h_poly = calculate_fgh_polys(a, b, None, gf)
 
-    h_evaluations = [h_poly.eval(i + 1) for i in range(2 * m)]
+    h_evaluations = evaluate_at_range(h_poly, 1, 2 * m, gf)
     z = list(x) + [f_poly.eval(0), g_poly.eval(0), h_poly.eval(0)] + h_evaluations
 
     gamma = rng.randrange(1, gf.order)

@@ -270,14 +270,46 @@ def calculate_ab_vectors(r1cs, xc, mul_indices_of_flatcode):
     return a, b
 
 
+_FAST_POLY_THRESHOLD = 128
+
+
 def calculate_fgh_polys(a, b, c, gf):
-    """Random masking polys f, g and their product h (reference :380-388)."""
+    """Random masking polys f, g and their product h (reference :380-388).
+
+    Above the threshold, interpolation over 1..m+1 and the f*g product run
+    through the quasi-linear toolkit (subproduct trees + NTT) instead of the
+    reference's O(m^2)/O(m^2) kernels."""
     r_a = rng.randrange(1, gf.order)
     r_b = rng.randrange(1, gf.order)
+    if len(a) + 1 >= _FAST_POLY_THRESHOLD:
+        from ..tools import fastpoly
+
+        p = gf.modulus
+        pts = list(range(1, len(a) + 2))
+        fa = fastpoly.interpolate(pts, [int(gf(v)) % p for v in a] + [r_a], p)
+        fb = fastpoly.interpolate(pts, [int(gf(v)) % p for v in b] + [r_b], p)
+        fh = fastpoly.poly_mul(fa, fb, p)
+        f_poly = qc.Poly([gf(v) for v in fa])
+        g_poly = qc.Poly([gf(v) for v in fb])
+        h_poly = qc.Poly([gf(v) for v in fh])
+        return f_poly, g_poly, h_poly
     f_poly = qc.Poly(qc.lagrange_interp_ff([gf(v) for v in a] + [gf(r_a)], gf))
     g_poly = qc.Poly(qc.lagrange_interp_ff([gf(v) for v in b] + [gf(r_b)], gf))
     h_poly = f_poly * g_poly
     return f_poly, g_poly, h_poly
+
+
+def evaluate_at_range(poly, start, count, gf):
+    """[poly(start), ..., poly(start+count-1)] — fast multi-point evaluation
+    above the threshold (the h(1..2m) vector, reference :427)."""
+    if count >= _FAST_POLY_THRESHOLD:
+        from ..tools import fastpoly
+
+        p = gf.modulus
+        coeffs = [int(gf(c)) % p for c in poly.coeffs]
+        pts = list(range(start, start + count))
+        return [gf(v) for v in fastpoly.multipoint_eval(coeffs, pts, p)]
+    return [poly.eval(start + i) for i in range(count)]
 
 
 def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
@@ -305,7 +337,7 @@ def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
 
     f_poly, g_poly, h_poly = calculate_fgh_polys(a, b, c, gf)
 
-    h_evaluations = [h_poly.eval(i + 1) for i in range(2 * m)]
+    h_evaluations = evaluate_at_range(h_poly, 1, 2 * m, gf)
     z = list(x) + [f_poly.eval(0), g_poly.eval(0), h_poly.eval(0)] + h_evaluations
 
     gamma = rng.randrange(1, gf.order)

@@ -13,8 +13,18 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _recombination_vectors(field, xs, xr):
-    """Lagrange coefficient matrix: rows = targets xr, columns = nodes xs."""
+    """Lagrange coefficient matrix: rows = targets xr, columns = nodes xs.
+
+    For consecutive-integer node sets (the 0..m ranges used throughout the
+    circuit-satisfiability layer) an O(n)-per-target prefix/suffix-product
+    fast path replaces the generic O(n^2) construction — required at
+    2^16-gate scale.
+    """
     modulus = field.modulus
+    if len(xs) > 64 and all(
+        xs[i + 1] - xs[i] == 1 for i in range(len(xs) - 1)
+    ):
+        return [_lagrange_row_consecutive(field, xs, x_r) for x_r in xr]
     xs = [x % modulus for x in xs]
     xr = [x % modulus for x in xr]
     d = [None] * len(xs)
@@ -36,6 +46,35 @@ def _recombination_vectors(field, xs, xr):
     return matrix
 
 
+def _lagrange_row_consecutive(field, xs, x_r):
+    """lambda_i(x_r) for consecutive nodes xs = a..a+n-1, in O(n).
+
+    lambda_i = prod_{j != i} (x_r - x_j) / (x_i - x_j); for consecutive nodes
+    the denominator is (-1)^(n-1-i) * i! * (n-1-i)!.
+    """
+    modulus = field.modulus
+    n = len(xs)
+    x_r = x_r % modulus
+    diffs = [(x_r - x_j) % modulus for x_j in xs]
+    prefix = [1] * (n + 1)
+    for i in range(n):
+        prefix[i + 1] = prefix[i] * diffs[i] % modulus
+    suffix = [1] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        suffix[i] = suffix[i + 1] * diffs[i] % modulus
+    fact = [1] * n
+    for i in range(1, n):
+        fact[i] = fact[i - 1] * i % modulus
+    row = [0] * n
+    for i in range(n):
+        num = prefix[i] * suffix[i + 1] % modulus
+        denom = fact[i] * fact[n - 1 - i] % modulus
+        if (n - 1 - i) % 2 == 1:
+            denom = modulus - denom
+        row[i] = num * pow(denom, -1, modulus) % modulus
+    return row
+
+
 def recombine(field, points, x_rs=0):
     """Recombine shares given by (x, share) points at x-coordinates x_rs."""
     xs, shares = list(zip(*points))
@@ -45,6 +84,23 @@ def recombine(field, points, x_rs=0):
     m = len(shares)
     width = len(x_rs)
     T_is_field = isinstance(shares[0], field)
+    if m * width > 1 << 16 and all(
+        isinstance(s, (int, field)) for s in shares
+    ):
+        # large extrapolations (share values at m+1..2m, reference
+        # mpc_ac20.py:334-336): interpolate + multi-point evaluate in
+        # O(m log^2 m) instead of applying an O(m x width) matrix
+        from ..tools import fastpoly
+
+        vals = [
+            (s.value if isinstance(s, field) else int(s)) % field.modulus
+            for s in shares
+        ]
+        coeffs = fastpoly.interpolate(list(xs), vals, field.modulus)
+        sums = [
+            field(v) for v in fastpoly.multipoint_eval(coeffs, list(x_rs), field.modulus)
+        ]
+        return sums[0] if scalar_output else sums
     vector = _recombination_vectors(field, tuple(xs), tuple(x_rs))
     sums = [0] * width
     for i in range(m):

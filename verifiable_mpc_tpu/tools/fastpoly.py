@@ -13,8 +13,6 @@ All polynomials are lists of ints (lowest degree first), coefficients mod p.
 
 from __future__ import annotations
 
-from ..ops import ntt
-
 # below this size the schoolbook/naive paths win
 _FAST_THRESHOLD = 64
 
@@ -34,6 +32,8 @@ def poly_mul(a, b, p):
                 for j, bj in enumerate(b):
                     o[i + j] = (o[i + j] + ai * bj) % p
         return o
+    from ..ops import ntt  # lazy: keeps jax off the host-only protocol path
+
     return ntt.poly_mul_mod(a, b, p)
 
 
