@@ -1,0 +1,80 @@
+"""Native C++ host-tier tests vs the pure-Python group arithmetic."""
+
+import random
+
+import pytest
+
+from verifiable_mpc_tpu import native
+from verifiable_mpc_tpu.groups.edwards import ELL, EdwardsPoint
+
+rng = random.Random(9)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+G = EdwardsPoint.generator
+
+
+def rand_points(n):
+    return [G ** rng.randrange(1, ELL) for _ in range(n)]
+
+
+def test_native_add_scalar_mul():
+    import numpy as np
+
+    lib = native.load()
+    a, b = rand_points(2)
+    pa = native._pts_to_u64([a])
+    pb = native._pts_to_u64([b])
+    out = np.zeros(16, dtype=np.uint64)
+    lib.vmpc_ed_add(native._u64p(pa), native._u64p(pb), native._u64p(out))
+    assert native._u64_to_pts(out[None])[0] == a * b
+
+    s = rng.randrange(ELL)
+    sc = native._scalars_to_u64([s], ELL)
+    lib.vmpc_ed_scalar_mul(native._u64p(pa), native._u64p(sc), native._u64p(out))
+    assert native._u64_to_pts(out[None])[0] == a ** s
+
+
+@pytest.mark.parametrize("n", [1, 3, 33, 200])
+def test_native_msm(n):
+    pts = rand_points(n)
+    scalars = [rng.randrange(ELL) for _ in range(n)]
+    if n > 2:
+        scalars[1] = 0
+    got = native.ed_msm(pts, scalars)
+    expect = EdwardsPoint.identity
+    for p, s in zip(pts, scalars):
+        expect = expect * (p ** s)
+    assert got == expect
+
+
+def test_native_batch_exp_and_fold():
+    exps = [0, 1, ELL - 1] + [rng.randrange(ELL) for _ in range(5)]
+    got = native.ed_batch_exp(G, exps)
+    assert got == [G ** e for e in exps]
+
+    n = 6
+    g_l = rand_points(n)
+    g_r = rand_points(n)
+    c = rng.randrange(ELL)
+    got = native.ed_fold(g_l, g_r, c)
+    assert got == [(g_l[i] ** c) * g_r[i] for i in range(n)]
+
+
+def test_native_registered_speedup():
+    """The native MSM must agree with dispatch's host fallback."""
+    from verifiable_mpc_tpu.ops import dispatch
+
+    saved = dict(dispatch._MSM_BACKENDS)
+    try:
+        assert native.register(min_batch=4)
+        pts = rand_points(64)
+        scalars = [rng.randrange(ELL) for _ in range(64)]
+        fast = dispatch.multiexp(pts, scalars)
+        slow = dispatch._host_multiexp(pts, scalars)
+        assert fast == slow
+    finally:
+        dispatch._MSM_BACKENDS.clear()
+        dispatch._MSM_BACKENDS.update(saved)

@@ -1,0 +1,175 @@
+"""Native host tier: build (g++) and load the C++ Ed25519 library via ctypes.
+
+The reference is pure Python (SURVEY.md preamble); this component is the
+framework's own addition: a speed-of-light host path for the group
+primitives, used by the dispatch layer for host-side MSM/fold/batch-exp
+(e.g. when proving on CPU-only machines, or for the small per-round
+commitments where kernel launch overhead dominates).
+
+Build happens on demand with the system toolchain and is cached next to the
+sources; everything degrades gracefully to the pure-Python path if no
+compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "ed25519.cc")
+_SO = os.path.join(_HERE, "_vmpc_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _SO,
+        _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    """Return the ctypes library handle, building if needed; None if
+    unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.vmpc_ed_msm.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_ed_batch_exp.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_ed_fold.argtypes = [u64p, u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_ed_add.argtypes = [u64p, u64p, u64p]
+    lib.vmpc_ed_scalar_mul.argtypes = [u64p, u64p, u64p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# ---------------------------------------------------------------------------
+# conversions
+# ---------------------------------------------------------------------------
+
+
+def _pts_to_u64(points) -> np.ndarray:
+    n = len(points)
+    out = np.empty((n, 16), dtype=np.uint64)
+    mask = (1 << 64) - 1
+    for i, p in enumerate(points):
+        for j, c in enumerate((p.x, p.y, p.z, p.t)):
+            out[i, 4 * j + 0] = c & mask
+            out[i, 4 * j + 1] = (c >> 64) & mask
+            out[i, 4 * j + 2] = (c >> 128) & mask
+            out[i, 4 * j + 3] = (c >> 192) & mask
+    return out
+
+
+def _u64_to_pts(arr) -> list:
+    from ..groups.edwards import EdwardsPoint
+
+    out = []
+    for row in arr:
+        coords = []
+        for j in range(4):
+            v = 0
+            for k in range(3, -1, -1):
+                v = (v << 64) | int(row[4 * j + k])
+            coords.append(v)
+        out.append(EdwardsPoint(*coords))
+    return out
+
+
+def _scalars_to_u64(scalars, order) -> np.ndarray:
+    n = len(scalars)
+    out = np.empty((n, 4), dtype=np.uint64)
+    mask = (1 << 64) - 1
+    for i, s in enumerate(scalars):
+        s = int(s) % order
+        out[i, 0] = s & mask
+        out[i, 1] = (s >> 64) & mask
+        out[i, 2] = (s >> 128) & mask
+        out[i, 3] = (s >> 192) & mask
+    return out
+
+
+def _u64p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+# ---------------------------------------------------------------------------
+# high-level ops
+# ---------------------------------------------------------------------------
+
+
+def ed_msm(points, scalars):
+    from ..groups.edwards import ELL
+
+    lib = load()
+    pts = _pts_to_u64(points)
+    sc = _scalars_to_u64(scalars, ELL)
+    out = np.zeros(16, dtype=np.uint64)
+    lib.vmpc_ed_msm(_u64p(pts), _u64p(sc), len(points), _u64p(out))
+    return _u64_to_pts(out[None])[0]
+
+
+def ed_batch_exp(base, exponents):
+    from ..groups.edwards import ELL
+
+    lib = load()
+    b = _pts_to_u64([base])
+    ex = _scalars_to_u64(exponents, ELL)
+    out = np.zeros((len(exponents), 16), dtype=np.uint64)
+    lib.vmpc_ed_batch_exp(_u64p(b), _u64p(ex), len(exponents), _u64p(out))
+    return _u64_to_pts(out)
+
+
+def ed_fold(g_l, g_r, c):
+    from ..groups.edwards import ELL
+
+    lib = load()
+    gl = _pts_to_u64(g_l)
+    gr = _pts_to_u64(g_r)
+    cc = _scalars_to_u64([c], ELL)
+    out = np.zeros((len(g_l), 16), dtype=np.uint64)
+    lib.vmpc_ed_fold(_u64p(gl), _u64p(gr), _u64p(cc), len(g_l), _u64p(out))
+    return _u64_to_pts(out)
+
+
+def register(min_batch: int = 8):
+    """Install the native library as the host dispatch backend for Ed25519."""
+    if not available():
+        return False
+    from ..groups.edwards import EdwardsPoint
+    from ..ops import dispatch
+
+    dispatch.register_msm_backend(EdwardsPoint, ed_msm, min_batch)
+    dispatch.register_fold_backend(EdwardsPoint, ed_fold, min_batch)
+    dispatch.register_batch_exp_backend(EdwardsPoint, ed_batch_exp, min_batch)
+    return True

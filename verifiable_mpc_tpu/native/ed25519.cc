@@ -1,0 +1,363 @@
+// Native host tier: Ed25519 group arithmetic over GF(2^255 - 19).
+//
+// 4x64-bit Montgomery limbs (unsigned __int128 multiplies), extended
+// twisted-Edwards coordinates with the complete add-2008-hwcd-3 formulas,
+// and a bucket-method (Pippenger) MSM.  Exposed through a C ABI and loaded
+// from Python with ctypes (no pybind11 in this environment).
+//
+// This is the framework's fast CPU path: it backs the dispatch layer when no
+// TPU is attached and provides the host-side reference the TPU kernels are
+// tested against at scale.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+namespace {
+
+// p = 2^255 - 19
+static const u64 P[4] = {0xffffffffffffffedULL, 0xffffffffffffffffULL,
+                         0xffffffffffffffffULL, 0x7fffffffffffffffULL};
+// -p^{-1} mod 2^64
+static const u64 NPRIME = 0x86bca1af286bca1bULL;
+// R^2 mod p (R = 2^256)
+static const u64 R2[4] = {0x00000000000005a4ULL, 0ULL, 0ULL, 0ULL};
+// R mod p (Montgomery one)
+static const u64 ONE_M[4] = {0x0000000000000026ULL, 0ULL, 0ULL, 0ULL};
+// 2d * R mod p (Montgomery domain), d = -121665/121666 mod p
+static u64 TWO_D_M[4];
+
+struct Fe {
+  u64 v[4];
+};
+
+static inline void fe_set(Fe &o, const u64 *src) { memcpy(o.v, src, 32); }
+
+static inline void fe_add(Fe &o, const Fe &a, const Fe &b) {
+  u128 c = 0;
+  u64 t[4];
+  for (int i = 0; i < 4; i++) {
+    c += (u128)a.v[i] + b.v[i];
+    t[i] = (u64)c;
+    c >>= 64;
+  }
+  // conditional subtract p (sum < 2p < 2^256, carry-out impossible for p<2^255)
+  u128 borrow = 0;
+  u64 s[4];
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)t[i] - P[i] - borrow;
+    s[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  u64 keep = (u64)0 - (u64)(borrow & 1 & !c);  // borrow && no carry -> keep t
+  for (int i = 0; i < 4; i++) o.v[i] = (t[i] & keep) | (s[i] & ~keep);
+}
+
+static inline void fe_sub(Fe &o, const Fe &a, const Fe &b) {
+  u128 borrow = 0;
+  u64 t[4];
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)a.v[i] - b.v[i] - borrow;
+    t[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  if (borrow) {
+    u128 c = 0;
+    for (int i = 0; i < 4; i++) {
+      c += (u128)t[i] + P[i];
+      t[i] = (u64)c;
+      c >>= 64;
+    }
+  }
+  memcpy(o.v, t, 32);
+}
+
+// Montgomery multiplication (CIOS)
+static inline void fe_mul(Fe &o, const Fe &a, const Fe &b) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; i++) {
+    u128 c = 0;
+    u64 ai = a.v[i];
+    for (int j = 0; j < 4; j++) {
+      c += (u128)t[j] + (u128)ai * b.v[j];
+      t[j] = (u64)c;
+      c >>= 64;
+    }
+    c += t[4];
+    t[4] = (u64)c;
+    t[5] = (u64)(c >> 64);
+
+    u64 m = t[0] * NPRIME;
+    c = (u128)t[0] + (u128)m * P[0];
+    c >>= 64;
+    for (int j = 1; j < 4; j++) {
+      c += (u128)t[j] + (u128)m * P[j];
+      t[j - 1] = (u64)c;
+      c >>= 64;
+    }
+    c += t[4];
+    t[3] = (u64)c;
+    t[4] = t[5] + (u64)(c >> 64);
+    t[5] = 0;
+  }
+  // t[0..4] holds result < 2p; conditional subtract
+  u128 borrow = 0;
+  u64 s[4];
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)t[i] - P[i] - borrow;
+    s[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  if (t[4] || !borrow) {
+    memcpy(o.v, s, 32);
+  } else {
+    memcpy(o.v, t, 32);
+  }
+}
+
+static inline void fe_to_mont(Fe &o, const Fe &a) {
+  Fe r2;
+  fe_set(r2, R2);
+  fe_mul(o, a, r2);
+}
+
+static inline void fe_from_mont(Fe &o, const Fe &a) {
+  Fe one;
+  memset(one.v, 0, 32);
+  one.v[0] = 1;
+  fe_mul(o, a, one);
+}
+
+struct Pt {
+  Fe x, y, z, t;
+};
+
+static void pt_identity(Pt &o) {
+  memset(&o, 0, sizeof(o));
+  fe_set(o.y, ONE_M);
+  fe_set(o.z, ONE_M);
+}
+
+// unified add (complete on the prime-order subgroup)
+static void pt_add(Pt &o, const Pt &p, const Pt &q) {
+  Fe a, b, c, d, e, f, g, h, t0, t1;
+  fe_sub(t0, p.y, p.x);
+  fe_sub(t1, q.y, q.x);
+  fe_mul(a, t0, t1);
+  fe_add(t0, p.y, p.x);
+  fe_add(t1, q.y, q.x);
+  fe_mul(b, t0, t1);
+  Fe twod;
+  fe_set(twod, TWO_D_M);
+  fe_mul(t0, p.t, twod);
+  fe_mul(c, t0, q.t);
+  fe_add(t0, p.z, p.z);
+  fe_mul(d, t0, q.z);
+  fe_sub(e, b, a);
+  fe_sub(f, d, c);
+  fe_add(g, d, c);
+  fe_add(h, b, a);
+  fe_mul(o.x, e, f);
+  fe_mul(o.y, g, h);
+  fe_mul(o.z, f, g);
+  fe_mul(o.t, e, h);
+}
+
+static void pt_double(Pt &o, const Pt &p) { pt_add(o, p, p); }
+
+static void pt_neg(Pt &o, const Pt &p) {
+  Fe zero;
+  memset(zero.v, 0, 32);
+  fe_sub(o.x, zero, p.x);
+  o.y = p.y;
+  o.z = p.z;
+  fe_sub(o.t, zero, p.t);
+}
+
+static void load_pt(Pt &o, const u64 *src) {
+  // src: 16 u64 = x, y, z, t in normal domain
+  Fe tmp;
+  memcpy(tmp.v, src + 0, 32);
+  fe_to_mont(o.x, tmp);
+  memcpy(tmp.v, src + 4, 32);
+  fe_to_mont(o.y, tmp);
+  memcpy(tmp.v, src + 8, 32);
+  fe_to_mont(o.z, tmp);
+  memcpy(tmp.v, src + 12, 32);
+  fe_to_mont(o.t, tmp);
+}
+
+static void store_pt(u64 *dst, const Pt &p) {
+  Fe tmp;
+  fe_from_mont(tmp, p.x);
+  memcpy(dst + 0, tmp.v, 32);
+  fe_from_mont(tmp, p.y);
+  memcpy(dst + 4, tmp.v, 32);
+  fe_from_mont(tmp, p.z);
+  memcpy(dst + 8, tmp.v, 32);
+  fe_from_mont(tmp, p.t);
+  memcpy(dst + 12, tmp.v, 32);
+}
+
+static int scalar_bit(const u64 *s, int bit) {
+  return (s[bit >> 6] >> (bit & 63)) & 1;
+}
+
+static void pt_scalar_mul(Pt &o, const Pt &p, const u64 *s) {
+  Pt acc;
+  pt_identity(acc);
+  for (int bit = 255; bit >= 0; bit--) {
+    Pt tmp;
+    pt_double(tmp, acc);
+    acc = tmp;
+    if (scalar_bit(s, bit)) {
+      pt_add(tmp, acc, p);
+      acc = tmp;
+    }
+  }
+  o = acc;
+}
+
+static void init_constants() {
+  static bool done = false;
+  if (done) return;
+  // 2d mod p = 2 * (-121665/121666): precomputed plain value
+  static const u64 TWO_D_PLAIN[4] = {0xebd69b9426b2f159ULL, 0x00e0149a8283b156ULL,
+                                     0x198e80f2eef3d130ULL, 0x2406d9dc56dffce7ULL};
+  Fe tmp;
+  memcpy(tmp.v, TWO_D_PLAIN, 32);
+  Fe m;
+  fe_to_mont(m, tmp);
+  memcpy(TWO_D_M, m.v, 32);
+  done = true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// points: n*16 u64 (xyzt plain), scalars: n*4 u64, out: 16 u64
+void vmpc_ed_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
+  init_constants();
+  // Pippenger: window size by n
+  int w = 4;
+  if (n >= 32) w = 8;
+  if (n >= 4096) w = 12;
+  if (n >= 262144) w = 16;
+  int nwin = (256 + w - 1) / w;
+  size_t nbuckets = ((size_t)1 << w) - 1;
+
+  std::vector<Pt> pts(n);
+  for (u64 i = 0; i < n; i++) load_pt(pts[i], points + i * 16);
+
+  Pt result;
+  pt_identity(result);
+  std::vector<Pt> buckets(nbuckets);
+  std::vector<char> used(nbuckets);
+
+  for (int win = nwin - 1; win >= 0; win--) {
+    // result <<= w
+    for (int k = 0; k < w; k++) {
+      Pt tmp;
+      pt_double(tmp, result);
+      result = tmp;
+    }
+    std::fill(used.begin(), used.end(), 0);
+    int base = win * w;
+    for (u64 i = 0; i < n; i++) {
+      u64 digit = 0;
+      for (int k = w - 1; k >= 0; k--) {
+        int bit = base + k;
+        digit = (digit << 1) | (bit < 256 ? scalar_bit(scalars + i * 4, bit) : 0);
+      }
+      if (!digit) continue;
+      size_t b = digit - 1;
+      if (!used[b]) {
+        buckets[b] = pts[i];
+        used[b] = 1;
+      } else {
+        Pt tmp;
+        pt_add(tmp, buckets[b], pts[i]);
+        buckets[b] = tmp;
+      }
+    }
+    // running-sum bucket combine: sum_k k*B_k
+    Pt running, windowsum;
+    pt_identity(running);
+    pt_identity(windowsum);
+    for (size_t b = nbuckets; b-- > 0;) {
+      if (used[b]) {
+        Pt tmp;
+        pt_add(tmp, running, buckets[b]);
+        running = tmp;
+      }
+      Pt tmp;
+      pt_add(tmp, windowsum, running);
+      windowsum = tmp;
+    }
+    Pt tmp;
+    pt_add(tmp, result, windowsum);
+    result = tmp;
+  }
+  store_pt(out, result);
+}
+
+// base: 16 u64, exps: n*4, out: n*16
+void vmpc_ed_batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
+  init_constants();
+  Pt b;
+  load_pt(b, base);
+  // precompute 2^i * base
+  std::vector<Pt> powers(256);
+  powers[0] = b;
+  for (int i = 1; i < 256; i++) pt_double(powers[i], powers[i - 1]);
+  for (u64 i = 0; i < n; i++) {
+    Pt acc;
+    pt_identity(acc);
+    for (int bit = 0; bit < 256; bit++) {
+      if (scalar_bit(exps + i * 4, bit)) {
+        Pt tmp;
+        pt_add(tmp, acc, powers[bit]);
+        acc = tmp;
+      }
+    }
+    store_pt(out + i * 16, acc);
+  }
+}
+
+// gl, gr: n*16, c: 4 u64, out: n*16  (out_i = gl_i^c * gr_i)
+void vmpc_ed_fold(const u64 *gl, const u64 *gr, const u64 *c, u64 n, u64 *out) {
+  init_constants();
+  for (u64 i = 0; i < n; i++) {
+    Pt l, r, s, tmp;
+    load_pt(l, gl + i * 16);
+    load_pt(r, gr + i * 16);
+    pt_scalar_mul(s, l, c);
+    pt_add(tmp, s, r);
+    store_pt(out + i * 16, tmp);
+  }
+}
+
+// pairwise ops for testing: out = a + b
+void vmpc_ed_add(const u64 *a, const u64 *b, u64 *out) {
+  init_constants();
+  Pt pa, pb, o;
+  load_pt(pa, a);
+  load_pt(pb, b);
+  pt_add(o, pa, pb);
+  store_pt(out, o);
+}
+
+// scalar mul for testing
+void vmpc_ed_scalar_mul(const u64 *a, const u64 *s, u64 *out) {
+  init_constants();
+  Pt pa, o;
+  load_pt(pa, a);
+  pt_scalar_mul(o, pa, s);
+  store_pt(out, o);
+}
+
+}  // extern "C"
