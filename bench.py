@@ -17,8 +17,18 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_vmpc_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def main():
     import jax
+
+    _enable_compile_cache()
 
     from verifiable_mpc_tpu.groups.edwards import ELL, EdwardsPoint
     from verifiable_mpc_tpu.ops import curve_ed as ced

@@ -1,0 +1,54 @@
+"""Subprocess entry for the TCP transport test: one MPC party.
+
+Usage: python tcp_party_main.py <pid> <m> <port>
+Runs a secure multiplication, a comparison gadget (dealer functionality) and
+a secure-group commitment over TCP, then prints the opened results.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from verifiable_mpc_tpu.groups import QuadraticResidues
+from verifiable_mpc_tpu.mpc.runtime import mpc
+from verifiable_mpc_tpu.mpc.secgroups import secure_repeat
+from verifiable_mpc_tpu.mpc.transport import run_tcp_party
+
+
+async def party():
+    await mpc.start()
+    group = QuadraticResidues(l=64)
+    sectype = mpc.SecInt(l=16, p=group.order)
+
+    a = sectype(6)
+    b = sectype(7)
+    prod = await mpc.output(a * b)
+
+    r = mpc._random(sectype)
+    masked = await mpc.output(r * sectype(0) + sectype(5))
+
+    bits = mpc.to_bits(sectype(5), 4)
+    bit_vals = await mpc.output(bits)
+
+    com = await secure_repeat([group.generator], [sectype(3)])
+    expected_com = group.generator ** 3
+
+    transferred = await mpc.transfer(mpc.pid)
+
+    await mpc.shutdown()
+    ok = (
+        prod == 42
+        and masked == 5
+        and bit_vals == [1, 0, 1, 0]
+        and com == expected_com
+        and transferred == list(range(mpc.m))
+    )
+    print("PARTY_RESULT", mpc.pid if hasattr(mpc, "pid") else -1, ok)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    pid, m, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    rc = run_tcp_party(party, pid, m, base_port=port)
+    sys.exit(rc)

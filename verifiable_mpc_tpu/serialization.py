@@ -1,0 +1,220 @@
+"""Canonical byte serialization for protocol objects.
+
+The reference keeps keys/proofs as in-memory dicts of group elements and
+never serializes anything (SURVEY.md §5.4); this framework defines a
+canonical tagged binary format so proofs/keys can cross host boundaries
+(the TCP party transport), be checkpointed to disk, and be hashed/compared
+reproducibly.
+
+Supported: ints, strings, bytes, bool, None, lists/tuples/dicts, prime-field
+elements (any modulus; classes are reconstructed via GF), GF(p^2) elements,
+Ed25519 / BN256 / BN256-twist points (normalized affine), quadratic-residue
+elements, Affine/Linear forms and Poly objects.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+from .fields import GF, GF2, FiniteFieldElement, QuadraticExtensionElement
+from .groups.bn256 import BNPoint, BNTwistPoint, GFp2
+from .groups.edwards import EdwardsPoint
+from .groups.qr import QuadraticResidueElement, QuadraticResidues
+
+MAGIC = b"VMPC1"
+
+T_INT = 0x01
+T_STR = 0x02
+T_BYTES = 0x03
+T_BOOL = 0x04
+T_NONE = 0x05
+T_LIST = 0x06
+T_TUPLE = 0x07
+T_DICT = 0x08
+T_FIELD = 0x10
+T_QR = 0x11
+T_ED = 0x12
+T_BN = 0x13
+T_BN2 = 0x14
+T_GF2 = 0x15
+T_FORM = 0x20
+T_POLY = 0x21
+
+
+def _w_int(buf, value: int):
+    raw = value.to_bytes((value.bit_length() + 8) // 8 or 1, "big", signed=True)
+    buf.write(struct.pack(">I", len(raw)))
+    buf.write(raw)
+
+
+def _r_int(buf) -> int:
+    (n,) = struct.unpack(">I", buf.read(4))
+    return int.from_bytes(buf.read(n), "big", signed=True)
+
+
+def _encode(buf, obj):
+    from .ac20.pivot import AffineForm, LinearForm
+    from .tools.poly import Poly
+
+    if obj is None:
+        buf.write(bytes([T_NONE]))
+    elif isinstance(obj, bool):
+        buf.write(bytes([T_BOOL, 1 if obj else 0]))
+    elif isinstance(obj, int):
+        buf.write(bytes([T_INT]))
+        _w_int(buf, obj)
+    elif isinstance(obj, str):
+        raw = obj.encode("utf-8")
+        buf.write(bytes([T_STR]))
+        buf.write(struct.pack(">I", len(raw)))
+        buf.write(raw)
+    elif isinstance(obj, bytes):
+        buf.write(bytes([T_BYTES]))
+        buf.write(struct.pack(">I", len(obj)))
+        buf.write(obj)
+    elif isinstance(obj, (list, tuple)):
+        buf.write(bytes([T_LIST if isinstance(obj, list) else T_TUPLE]))
+        buf.write(struct.pack(">I", len(obj)))
+        for item in obj:
+            _encode(buf, item)
+    elif isinstance(obj, dict):
+        buf.write(bytes([T_DICT]))
+        buf.write(struct.pack(">I", len(obj)))
+        for k, v in obj.items():
+            _encode(buf, k)
+            _encode(buf, v)
+    elif isinstance(obj, EdwardsPoint):
+        n = obj.normalize()
+        buf.write(bytes([T_ED]))
+        _w_int(buf, n.x)
+        _w_int(buf, n.y)
+    elif isinstance(obj, BNPoint):
+        buf.write(bytes([T_BN]))
+        if BNPoint._is_identity(obj):
+            buf.write(bytes([0]))
+        else:
+            n = obj.normalize()
+            buf.write(bytes([1]))
+            _w_int(buf, n.x.value)
+            _w_int(buf, n.y.value)
+    elif isinstance(obj, BNTwistPoint):
+        buf.write(bytes([T_BN2]))
+        if BNTwistPoint._is_identity(obj):
+            buf.write(bytes([0]))
+        else:
+            n = obj.normalize()
+            buf.write(bytes([1]))
+            _w_int(buf, n.x.c0)
+            _w_int(buf, n.x.c1)
+            _w_int(buf, n.y.c0)
+            _w_int(buf, n.y.c1)
+    elif isinstance(obj, QuadraticResidueElement):
+        buf.write(bytes([T_QR]))
+        _w_int(buf, type(obj).modulus)
+        _w_int(buf, obj.value)
+    elif isinstance(obj, QuadraticExtensionElement):
+        buf.write(bytes([T_GF2]))
+        _w_int(buf, type(obj).modulus)
+        _w_int(buf, obj.c0)
+        _w_int(buf, obj.c1)
+    elif isinstance(obj, FiniteFieldElement):
+        buf.write(bytes([T_FIELD]))
+        _w_int(buf, type(obj).modulus)
+        _w_int(buf, obj.value)
+    elif isinstance(obj, AffineForm):
+        buf.write(bytes([T_FORM, 1 if isinstance(obj, LinearForm) else 0]))
+        _encode(buf, obj.coeffs)
+        _encode(buf, obj.constant)
+    elif isinstance(obj, Poly):
+        buf.write(bytes([T_POLY]))
+        _encode(buf, obj.coeffs)
+    else:
+        raise TypeError(f"cannot serialize {type(obj)}")
+
+
+def _decode(buf):
+    from .ac20.pivot import AffineForm, LinearForm
+    from .tools.poly import Poly
+
+    tag = buf.read(1)[0]
+    if tag == T_NONE:
+        return None
+    if tag == T_BOOL:
+        return buf.read(1)[0] == 1
+    if tag == T_INT:
+        return _r_int(buf)
+    if tag == T_STR:
+        (n,) = struct.unpack(">I", buf.read(4))
+        return buf.read(n).decode("utf-8")
+    if tag == T_BYTES:
+        (n,) = struct.unpack(">I", buf.read(4))
+        return buf.read(n)
+    if tag in (T_LIST, T_TUPLE):
+        (n,) = struct.unpack(">I", buf.read(4))
+        items = [_decode(buf) for _ in range(n)]
+        return items if tag == T_LIST else tuple(items)
+    if tag == T_DICT:
+        (n,) = struct.unpack(">I", buf.read(4))
+        return {_decode(buf): _decode(buf) for _ in range(n)}
+    if tag == T_ED:
+        x = _r_int(buf)
+        y = _r_int(buf)
+        return EdwardsPoint(x, y)
+    if tag == T_BN:
+        if buf.read(1)[0] == 0:
+            return BNPoint.identity
+        x = _r_int(buf)
+        y = _r_int(buf)
+        return BNPoint(x, y)
+    if tag == T_BN2:
+        if buf.read(1)[0] == 0:
+            return BNTwistPoint.identity
+        x = GFp2(_r_int(buf), _r_int(buf))
+        y = GFp2(_r_int(buf), _r_int(buf))
+        return BNTwistPoint(x, y)
+    if tag == T_QR:
+        modulus = _r_int(buf)
+        value = _r_int(buf)
+        cls = _qr_class_for_modulus(modulus)
+        return cls(value)
+    if tag == T_GF2:
+        modulus = _r_int(buf)
+        return GF2(modulus)(_r_int(buf), _r_int(buf))
+    if tag == T_FIELD:
+        modulus = _r_int(buf)
+        return GF(modulus)(_r_int(buf))
+    if tag == T_FORM:
+        is_linear = buf.read(1)[0] == 1
+        coeffs = _decode(buf)
+        constant = _decode(buf)
+        return LinearForm(coeffs) if is_linear else AffineForm(coeffs, constant)
+    if tag == T_POLY:
+        return Poly(_decode(buf))
+    raise ValueError(f"unknown tag {tag:#x}")
+
+
+def _qr_class_for_modulus(modulus: int):
+    for l in (64, 1024, 1536, 2048):
+        cls = QuadraticResidues(l)
+        if cls.modulus == modulus:
+            return cls
+    cls = type(f"QR(p={modulus})", (QuadraticResidueElement,), {"__slots__": ()})
+    cls.modulus = modulus
+    cls.order = (modulus - 1) // 2
+    cls.identity = cls(1)
+    cls.generator = cls(4)
+    return cls
+
+
+def dumps(obj) -> bytes:
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    _encode(buf, obj)
+    return buf.getvalue()
+
+
+def loads(data: bytes):
+    buf = io.BytesIO(data)
+    assert buf.read(5) == MAGIC, "bad magic"
+    return _decode(buf)
