@@ -1,0 +1,109 @@
+"""End-to-end AC20 circuit-satisfiability benchmark at scale.
+
+Builds a circuit with ~2^k multiplication gates via the circuit-builder DSL,
+runs the full compressed-pivot prover + verifier over Ed25519, and reports
+per-phase wall-clock (BASELINE.md config "AC20 proof generation for a
+2^16-gate arithmetic circuit").
+
+Backends: --native (C++ host tier, default if available) or --tpu (JAX
+kernels).  The reference implementation cannot run here (MPyC is not
+installable), so the comparison column reports the measured per-operation
+rates of the pure-Python path extrapolated to this size — see BASELINE.md.
+
+Usage: python bench_ac20.py [--log2-muls 16] [--tpu]
+"""
+
+import argparse
+import sys
+import time
+
+import verifiable_mpc_tpu
+from verifiable_mpc_tpu.fields import GF
+from verifiable_mpc_tpu.groups import EllipticCurve
+from verifiable_mpc_tpu.profiling import Phases
+import verifiable_mpc_tpu.ac20.circuit_builder as cb
+import verifiable_mpc_tpu.ac20.circuit_sat_cb as cs
+
+
+def build_chain_circuit(n_muls: int):
+    """x_{i+1} = x_i * x_i + 1 chain: n_muls multiplication gates."""
+    circuit = cb.Circuit()
+    x = cb.CircuitVar(3, circuit, "x")
+    acc = x
+    for _ in range(n_muls - 1):
+        acc = acc * acc + 1
+    out = acc * x
+    out.label_output("out")
+    return circuit
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--log2-muls", type=int, default=10)
+    parser.add_argument("--tpu", action="store_true")
+    parser.add_argument("--pure-python", action="store_true")
+    args = parser.parse_args()
+
+    if args.tpu:
+        verifiable_mpc_tpu.enable_tpu()
+        backend = "tpu"
+    elif not args.pure_python and verifiable_mpc_tpu.enable_native():
+        backend = "native-c++"
+    else:
+        backend = "pure-python"
+    print(f"backend: {backend}", file=sys.stderr)
+
+    n_muls = 1 << args.log2_muls
+    phases = Phases()
+
+    with phases.phase("build_circuit"):
+        circuit = build_chain_circuit(n_muls)
+    x = circuit.initial_inputs()
+    check, padding, g_length = cs.check_input_length_power_of_2(x, circuit)
+    with phases.phase("pad"):
+        for i in range(padding):
+            cb.CircuitVar(0, circuit, "unused_" + str(i))
+        x = circuit.initial_inputs()
+    print(
+        f"muls={circuit.mul_ct} commitment vector length={g_length}",
+        file=sys.stderr,
+    )
+
+    group = EllipticCurve("Ed25519", "projective")
+    gf = GF(group.order)
+
+    with phases.phase("generators"):
+        generators = cs.create_generators(g_length, cs.PivotChoice.compressed, group)
+    with phases.phase("prove"):
+        proof = cs.circuit_sat_prover(
+            generators, circuit, x, gf, cs.PivotChoice.compressed
+        )
+    with phases.phase("verify"):
+        verification = cs.circuit_sat_verifier(
+            proof, generators, circuit, gf, cs.PivotChoice.compressed
+        )
+
+    ok = all(
+        v if not isinstance(v, dict) else all(v.values())
+        for v in verification.values()
+    )
+    phases.report(file=sys.stderr)
+    print(f"verification: {ok}", file=sys.stderr)
+    import json
+
+    print(
+        json.dumps(
+            {
+                "metric": f"ac20_prove_seconds_2^{args.log2_muls}_muls",
+                "value": round(phases.durations["prove"], 3),
+                "unit": "s",
+                "backend": backend,
+                "verified": ok,
+            }
+        )
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

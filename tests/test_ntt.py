@@ -40,7 +40,7 @@ def test_device_poly_mul_matches_schoolbook():
     p = BN_ORDER
     a = [rng.randrange(p) for _ in range(9)]
     b = [rng.randrange(p) for _ in range(8)]
-    got = ntt.poly_mul_mod(a, b, p)
+    got = ntt.poly_mul_mod(a, b, p, use_device=True)
     assert got == schoolbook(a, b, p)
 
 

@@ -28,3 +28,11 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256):
 
     msm.register(min_msm_batch)
     ntt.register(min_poly_len)
+
+
+def enable_native(min_batch: int = 8):
+    """Install the C++ host tier (Pippenger MSM etc.) as the dispatch backend
+    for Ed25519.  Returns False if no toolchain is available."""
+    from . import native
+
+    return native.register(min_batch)

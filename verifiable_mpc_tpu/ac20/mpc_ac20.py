@@ -298,9 +298,13 @@ async def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
     y1 = linform_f(z)
     y2 = linform_g(z)
     y3 = linform_h(z)
-    y1 = await mpc.output(y1)
-    y2 = await mpc.output(y2)
-    y3 = await mpc.output(y3)
+    # open as field elements: the f(c)*g(c) = h(c) identity holds in the
+    # field, not over signed-int representatives (the reference's untested
+    # r1cs MPC path asserts over ints, mpc_ac20.py:379-382, which fails for
+    # random evaluations; its tested cb path uses raw=True for this reason)
+    y1 = await mpc.output(y1, raw=True)
+    y2 = await mpc.output(y2, raw=True)
+    y3 = await mpc.output(y3, raw=True)
     assert y1 * y2 == y3
     proof["y1"] = y1
     proof["y2"] = y2

@@ -23,7 +23,9 @@ def ctx():
     global CTX
     if CTX is None:
         CTX = lb.mont_ctx(ED_P)
-        CTX.two_d_mont = CTX.to_mont(jnp.asarray(lb.int_to_limbs(2 * D % ED_P)))
+        CTX.two_d_mont = np.asarray(
+            CTX.to_mont(jnp.asarray(lb.int_to_limbs(2 * D % ED_P)))
+        )
     return CTX
 
 
@@ -35,20 +37,36 @@ def identity(batch_shape=()):
     return (zero, one, one, zero)
 
 
+def add_with_constants(p, q, p_limbs, n_prime_limbs, two_d_mont):
+    """Unified addition (add-2008-hwcd-3) parameterized by the field
+    constants — the form used inside Pallas kernels."""
+
+    def mul(a, b):
+        return lb.mont_mul(a, b, p_limbs, n_prime_limbs)
+
+    def add_(a, b):
+        return lb.add_mod(a, b, p_limbs)
+
+    def sub_(a, b):
+        return lb.sub_mod(a, b, p_limbs)
+
+    x1, y1, z1, t1 = p
+    x2, y2, z2, t2 = q
+    a = mul(sub_(y1, x1), sub_(y2, x2))
+    b = mul(add_(y1, x1), add_(y2, x2))
+    cc = mul(mul(t1, jnp.broadcast_to(two_d_mont, t1.shape)), t2)
+    d = mul(add_(z1, z1), z2)
+    e = sub_(b, a)
+    f = sub_(d, cc)
+    g = add_(d, cc)
+    h = add_(b, a)
+    return (mul(e, f), mul(g, h), mul(f, g), mul(e, h))
+
+
 def add(p, q):
     """Unified addition (add-2008-hwcd-3): 9 modmuls, complete."""
     c = ctx()
-    x1, y1, z1, t1 = p
-    x2, y2, z2, t2 = q
-    a = c.mul(c.sub(y1, x1), c.sub(y2, x2))
-    b = c.mul(c.add(y1, x1), c.add(y2, x2))
-    cc = c.mul(c.mul(t1, c.two_d_mont), t2)
-    d = c.mul(c.add(z1, z1), z2)
-    e = c.sub(b, a)
-    f = c.sub(d, cc)
-    g = c.add(d, cc)
-    h = c.add(b, a)
-    return (c.mul(e, f), c.mul(g, h), c.mul(f, g), c.mul(e, h))
+    return add_with_constants(p, q, c.p_limbs, c.n_prime_limbs, c.two_d_mont)
 
 
 def double(p):

@@ -97,13 +97,35 @@ def _acc_matrix(L: int, out_cols: int):
 
 
 def _mul_cols(a, b, out_cols):
+    """Anti-diagonal (column) accumulation of the limb products.
+
+    The limb products are computed exactly in u32 on the VPU, split into
+    8-bit planes (values <= 255, exactly representable in bf16), and the
+    anti-diagonal sums run as two bf16 x bf16 -> f32 matmuls against the 0/1
+    accumulation matrix — the *native* MXU path, exact because every column
+    sum stays far below 2^24.  (A plain f32 matmul is NOT exact on the TPU
+    MXU — it executes as lossy bf16 passes — which this decomposition
+    sidesteps while keeping compile time low.)
+    """
     L = a.shape[-1]
+    batch = a.shape[:-1]
     prod = a[..., :, None] * b[..., None, :]  # [..., L, L] u32, exact
-    lo = (prod & MASK).astype(jnp.float32).reshape(a.shape[:-1] + (L * L,))
-    hi = (prod >> LIMB_BITS).astype(jnp.float32).reshape(a.shape[:-1] + (L * L,))
-    stacked = jnp.concatenate([lo, hi], axis=-1)  # [..., 2*L*L]
-    cols = jnp.matmul(stacked, jnp.asarray(_acc_matrix(L, out_cols)))
-    return cols.astype(jnp.uint32)
+    lo = prod & MASK
+    hi = prod >> LIMB_BITS
+    T = jnp.asarray(_acc_matrix(L, out_cols), dtype=jnp.bfloat16)
+
+    def planes(shift):
+        return jnp.concatenate(
+            [
+                ((lo >> shift) & 0xFF).reshape(batch + (L * L,)),
+                ((hi >> shift) & 0xFF).reshape(batch + (L * L,)),
+            ],
+            axis=-1,
+        ).astype(jnp.bfloat16)
+
+    cols0 = jnp.matmul(planes(0), T, preferred_element_type=jnp.float32)
+    cols8 = jnp.matmul(planes(8), T, preferred_element_type=jnp.float32)
+    return cols0.astype(jnp.uint32) + (cols8.astype(jnp.uint32) << 8)
 
 
 def mul_wide(a, b):
@@ -182,6 +204,32 @@ def sub_mod(a, b, p_limbs):
     return jnp.where((borrow != 0)[..., None], corrected, diff)
 
 
+def mont_redc(t_wide, p_limbs, n_prime_limbs):
+    """REDC parameterized by the modulus constants (usable inside Pallas
+    kernels where constants arrive as kernel inputs)."""
+    L = t_wide.shape[-1] // 2
+    t_lo = t_wide[..., :L]
+    m = mul_low(t_lo, n_prime_limbs, L)
+    mn = mul_wide(m, p_limbs)  # [..., 2L]
+    # t + m*n: low half becomes zero; compute full sum with carries
+    total = jnp.concatenate(
+        [t_wide, jnp.zeros(t_wide.shape[:-1] + (1,), jnp.uint32)], axis=-1
+    )
+    total = total.at[..., : 2 * L].add(mn)
+    total = _carry(total)
+    hi = total[..., L : 2 * L + 1]
+    top = hi[..., L:]  # the (L+1)-th limb (carry bit)
+    res = hi[..., :L]
+    # if top bit set, subtract p once more (res + 2^256 >= p always)
+    diff, borrow = _borrow_sub(res, jnp.broadcast_to(p_limbs, res.shape))
+    need_sub = (top[..., 0] != 0) | (borrow == 0)
+    return jnp.where(need_sub[..., None], diff, res)
+
+
+def mont_mul(a, b, p_limbs, n_prime_limbs):
+    return mont_redc(mul_wide(a, b), p_limbs, n_prime_limbs)
+
+
 class MontCtx:
     """Per-modulus constants for Montgomery arithmetic (device-resident)."""
 
@@ -191,38 +239,23 @@ class MontCtx:
         self.bits = limbs * LIMB_BITS
         R = 1 << self.bits
         self.R = R
-        self.p_limbs = jnp.asarray(int_to_limbs(p, limbs))
+        # constants are numpy (not device) arrays so they embed as literals
+        # in traced code — required for Pallas kernel bodies
+        self.p_limbs = int_to_limbs(p, limbs)
         self.n_prime = (-pow(p, -1, R)) % R
-        self.n_prime_limbs = jnp.asarray(int_to_limbs(self.n_prime, limbs))
+        self.n_prime_limbs = int_to_limbs(self.n_prime, limbs)
         self.r2 = R * R % p
-        self.r2_limbs = jnp.asarray(int_to_limbs(self.r2, limbs))
-        self.one_mont = jnp.asarray(int_to_limbs(R % p, limbs))
-        self.zero = jnp.asarray(int_to_limbs(0, limbs))
+        self.r2_limbs = int_to_limbs(self.r2, limbs)
+        self.one_mont = int_to_limbs(R % p, limbs)
+        self.zero = int_to_limbs(0, limbs)
 
     # -- Montgomery core ---------------------------------------------------
     def redc(self, t_wide):
         """REDC: t_wide [..., 2L] -> t_wide * R^-1 mod p, [..., L]."""
-        L = self.limbs
-        t_lo = t_wide[..., :L]
-        m = mul_low(t_lo, self.n_prime_limbs, L)
-        mn = mul_wide(m, self.p_limbs)  # [..., 2L]
-        # t + m*n: low half becomes zero; compute full sum with carries
-        total = jnp.concatenate(
-            [t_wide, jnp.zeros(t_wide.shape[:-1] + (1,), jnp.uint32)], axis=-1
-        )
-        total = total.at[..., : 2 * L].add(mn)
-        total = _carry(total)
-        hi = total[..., L : 2 * L + 1]
-        # result < 2p fits in L limbs + possible top bit in limb L
-        top = hi[..., L - 1 + 1 :]  # the (L+1)-th limb (carry bit)
-        res = hi[..., :L]
-        # if top bit set, subtract p once more (res + 2^256 >= p always)
-        diff, borrow = _borrow_sub(res, self.p_limbs)
-        need_sub = (top[..., 0] != 0) | (borrow == 0)
-        return jnp.where(need_sub[..., None], diff, res)
+        return mont_redc(t_wide, self.p_limbs, self.n_prime_limbs)
 
     def mul(self, a, b):
-        return self.redc(mul_wide(a, b))
+        return mont_mul(a, b, self.p_limbs, self.n_prime_limbs)
 
     def square(self, a):
         return self.redc(mul_wide(a, a))

@@ -154,11 +154,18 @@ def _next_pow2(x: int) -> int:
     return 1 << max(1, (x - 1).bit_length())
 
 
-def poly_mul_ints(a, b, use_device=True) -> list:
+# below this transform size the host NTT wins (device path pays kernel
+# compile + transfer); above it the TPU butterflies dominate
+DEVICE_NTT_THRESHOLD = 1 << 14
+
+
+def poly_mul_ints(a, b, use_device=None) -> list:
     """Exact integer polynomial product via NTT mod the big prime."""
     la, lb_ = len(a), len(b)
     out_len = la + lb_ - 1
     n = _next_pow2(out_len)
+    if use_device is None:
+        use_device = n >= DEVICE_NTT_THRESHOLD
     P = ntt_prime()
     # exactness bound: every product coefficient < P
     assert (
@@ -208,7 +215,7 @@ def _ntt_host(values, P, w):
 # ---------------------------------------------------------------------------
 
 
-def poly_mul_mod(a_ints, b_ints, p: int, use_device=True) -> list:
+def poly_mul_mod(a_ints, b_ints, p: int, use_device=None) -> list:
     """(a * b) mod p coefficient-wise, exact via integer NTT."""
     a = [x % p for x in a_ints]
     b = [x % p for x in b_ints]
