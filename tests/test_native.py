@@ -78,3 +78,38 @@ def test_native_registered_speedup():
     finally:
         dispatch._MSM_BACKENDS.clear()
         dispatch._MSM_BACKENDS.update(saved)
+
+
+class TestNativeBN:
+    def test_bn_msm_and_batch_exp(self):
+        from verifiable_mpc_tpu.groups.bn256 import BNPoint, ORDER
+
+        g = BNPoint.generator
+        n = 20
+        pts = [g ** rng.randrange(1, ORDER) for _ in range(n)]
+        scalars = [rng.randrange(ORDER) for _ in range(n)]
+        scalars[0] = 0
+        got = native.bn_msm(pts, scalars)
+        expect = BNPoint.identity
+        for p, s in zip(pts, scalars):
+            expect = expect * (p ** s)
+        assert got == expect
+
+        exps = [0, 1, ORDER - 1, rng.randrange(ORDER)]
+        assert native.bn_batch_exp(g, exps) == [g ** e for e in exps]
+
+    def test_bn2_msm_and_batch_exp(self):
+        from verifiable_mpc_tpu.groups.bn256 import BNTwistPoint, ORDER
+
+        g2 = BNTwistPoint.generator
+        n = 8
+        pts = [g2 ** rng.randrange(1, ORDER) for _ in range(n)]
+        scalars = [rng.randrange(ORDER) for _ in range(n)]
+        got = native.bn2_msm(pts, scalars)
+        expect = BNTwistPoint.identity
+        for p, s in zip(pts, scalars):
+            expect = expect * (p ** s)
+        assert got == expect
+
+        exps = [1, 7, rng.randrange(ORDER)]
+        assert native.bn2_batch_exp(g2, exps) == [g2 ** e for e in exps]

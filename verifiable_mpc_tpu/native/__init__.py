@@ -20,7 +20,7 @@ import subprocess
 import numpy as np
 
 _HERE = os.path.dirname(__file__)
-_SRC = os.path.join(_HERE, "ed25519.cc")
+_SRCS = [os.path.join(_HERE, "ed25519.cc"), os.path.join(_HERE, "bn256.cc")]
 _SO = os.path.join(_HERE, "_vmpc_native.so")
 
 _lib = None
@@ -36,10 +36,9 @@ def _build() -> bool:
         "-fPIC",
         "-o",
         _SO,
-        _SRC,
-    ]
+    ] + _SRCS
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return True
     except Exception:
         return False
@@ -52,7 +51,8 @@ def load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
         if not _build():
             return None
     try:
@@ -65,6 +65,11 @@ def load():
     lib.vmpc_ed_fold.argtypes = [u64p, u64p, u64p, ctypes.c_uint64, u64p]
     lib.vmpc_ed_add.argtypes = [u64p, u64p, u64p]
     lib.vmpc_ed_scalar_mul.argtypes = [u64p, u64p, u64p]
+    lib.vmpc_bn_msm.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_bn_batch_exp.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_bn_scalar_mul.argtypes = [u64p, u64p, u64p]
+    lib.vmpc_bn2_msm.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_bn2_batch_exp.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
     _lib = lib
     return _lib
 
@@ -162,14 +167,124 @@ def ed_fold(g_l, g_r, c):
     return _u64_to_pts(out)
 
 
+# ---------------------------------------------------------------------------
+# BN256 (G1 + twist)
+# ---------------------------------------------------------------------------
+
+
+def _int_to_u64x4(v: int, out, off):
+    mask = (1 << 64) - 1
+    out[off + 0] = v & mask
+    out[off + 1] = (v >> 64) & mask
+    out[off + 2] = (v >> 128) & mask
+    out[off + 3] = (v >> 192) & mask
+
+
+def _u64x4_to_int(row, off) -> int:
+    v = 0
+    for k in range(3, -1, -1):
+        v = (v << 64) | int(row[off + k])
+    return v
+
+
+def _bn_pts_to_u64(points) -> np.ndarray:
+    out = np.empty((len(points), 12), dtype=np.uint64)
+    for i, p in enumerate(points):
+        for j, c in enumerate((p.x, p.y, p.z)):
+            _int_to_u64x4(c.value, out[i], 4 * j)
+    return out
+
+
+def _u64_to_bn_pts(arr) -> list:
+    from ..groups.bn256 import BNPoint
+
+    out = []
+    for row in arr:
+        coords = [_u64x4_to_int(row, 4 * j) for j in range(3)]
+        out.append(BNPoint(*coords, check=False))
+    return out
+
+
+def _bn2_pts_to_u64(points) -> np.ndarray:
+    out = np.empty((len(points), 24), dtype=np.uint64)
+    for i, p in enumerate(points):
+        for j, c in enumerate((p.x, p.y, p.z)):
+            _int_to_u64x4(c.c0, out[i], 8 * j)
+            _int_to_u64x4(c.c1, out[i], 8 * j + 4)
+    return out
+
+
+def _u64_to_bn2_pts(arr) -> list:
+    from ..groups.bn256 import BNTwistPoint, GFp2
+
+    out = []
+    for row in arr:
+        coords = [
+            GFp2(_u64x4_to_int(row, 8 * j), _u64x4_to_int(row, 8 * j + 4))
+            for j in range(3)
+        ]
+        out.append(BNTwistPoint(*coords, check=False))
+    return out
+
+
+def bn_msm(points, scalars):
+    from ..groups.bn256 import ORDER
+
+    lib = load()
+    pts = _bn_pts_to_u64(points)
+    sc = _scalars_to_u64(scalars, ORDER)
+    out = np.zeros(12, dtype=np.uint64)
+    lib.vmpc_bn_msm(_u64p(pts), _u64p(sc), len(points), _u64p(out))
+    return _u64_to_bn_pts(out[None])[0]
+
+
+def bn_batch_exp(base, exponents):
+    from ..groups.bn256 import ORDER
+
+    lib = load()
+    b = _bn_pts_to_u64([base])
+    ex = _scalars_to_u64(exponents, ORDER)
+    out = np.zeros((len(exponents), 12), dtype=np.uint64)
+    lib.vmpc_bn_batch_exp(_u64p(b), _u64p(ex), len(exponents), _u64p(out))
+    return _u64_to_bn_pts(out)
+
+
+def bn2_msm(points, scalars):
+    from ..groups.bn256 import ORDER
+
+    lib = load()
+    pts = _bn2_pts_to_u64(points)
+    sc = _scalars_to_u64(scalars, ORDER)
+    out = np.zeros(24, dtype=np.uint64)
+    lib.vmpc_bn2_msm(_u64p(pts), _u64p(sc), len(points), _u64p(out))
+    return _u64_to_bn2_pts(out[None])[0]
+
+
+def bn2_batch_exp(base, exponents):
+    from ..groups.bn256 import ORDER
+
+    lib = load()
+    b = _bn2_pts_to_u64([base])
+    ex = _scalars_to_u64(exponents, ORDER)
+    out = np.zeros((len(exponents), 24), dtype=np.uint64)
+    lib.vmpc_bn2_batch_exp(_u64p(b), _u64p(ex), len(exponents), _u64p(out))
+    return _u64_to_bn2_pts(out)
+
+
 def register(min_batch: int = 8):
-    """Install the native library as the host dispatch backend for Ed25519."""
+    """Install the native library as the host dispatch backend for Ed25519
+    and the BN256 curves."""
     if not available():
         return False
+    from ..groups.bn256 import BNPoint, BNTwistPoint
     from ..groups.edwards import EdwardsPoint
     from ..ops import dispatch
 
     dispatch.register_msm_backend(EdwardsPoint, ed_msm, min_batch)
     dispatch.register_fold_backend(EdwardsPoint, ed_fold, min_batch)
     dispatch.register_batch_exp_backend(EdwardsPoint, ed_batch_exp, min_batch)
+    dispatch.register_msm_backend(BNPoint, bn_msm, min_batch)
+    dispatch.register_batch_exp_backend(BNPoint, bn_batch_exp, min_batch)
+    dispatch.register_msm_backend(BNTwistPoint, bn2_msm, min_batch)
+    dispatch.register_batch_exp_backend(BNTwistPoint, bn2_batch_exp, min_batch)
     return True

@@ -1,0 +1,467 @@
+// Native host tier: BN256 (and its sextic twist) group arithmetic.
+//
+// 4x64-bit Montgomery limbs over the BN base field p, jacobian coordinates
+// (branchy complete handling is fine on the CPU), Fp2 = Fp[i]/(i^2+1) for
+// the twist, and bucket-method MSM / fixed-base batch exponentiation for
+// both groups — the hot loops of Pinocchio key generation and proving
+// (reference pynocchio.py:101-200, :228-273).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+namespace bn {
+
+static const u64 P[4] = {0x185cac6c5e089667ULL, 0xee5b88d120b5b59eULL,
+                         0xaa6fecb86184dc21ULL, 0x8fb501e34aa387f9ULL};
+static const u64 NPRIME = 0x2387f9007f17daa9ULL;
+static const u64 R2[4] = {0x9c21c3ff7e444f56ULL, 0x409ed151b2efb0c2ULL,
+                          0x0c6dc37b80fb1651ULL, 0x7c36e0e62c2380b7ULL};
+static const u64 ONE_M[4] = {0xe7a35393a1f76999ULL, 0x11a4772edf4a4a61ULL,
+                             0x559013479e7b23deULL, 0x704afe1cb55c7806ULL};
+
+struct Fp {
+  u64 v[4];
+};
+
+static inline bool fp_is_zero(const Fp &a) {
+  return (a.v[0] | a.v[1] | a.v[2] | a.v[3]) == 0;
+}
+
+static inline bool fp_eq(const Fp &a, const Fp &b) {
+  return memcmp(a.v, b.v, 32) == 0;
+}
+
+static inline void fp_add(Fp &o, const Fp &a, const Fp &b) {
+  u128 c = 0;
+  u64 t[4];
+  for (int i = 0; i < 4; i++) {
+    c += (u128)a.v[i] + b.v[i];
+    t[i] = (u64)c;
+    c >>= 64;
+  }
+  u128 borrow = 0;
+  u64 s[4];
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)t[i] - P[i] - borrow;
+    s[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  if (c || !borrow)
+    memcpy(o.v, s, 32);
+  else
+    memcpy(o.v, t, 32);
+}
+
+static inline void fp_sub(Fp &o, const Fp &a, const Fp &b) {
+  u128 borrow = 0;
+  u64 t[4];
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)a.v[i] - b.v[i] - borrow;
+    t[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  if (borrow) {
+    u128 c = 0;
+    for (int i = 0; i < 4; i++) {
+      c += (u128)t[i] + P[i];
+      t[i] = (u64)c;
+      c >>= 64;
+    }
+  }
+  memcpy(o.v, t, 32);
+}
+
+static inline void fp_mul(Fp &o, const Fp &a, const Fp &b) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; i++) {
+    u128 c = 0;
+    u64 ai = a.v[i];
+    for (int j = 0; j < 4; j++) {
+      c += (u128)t[j] + (u128)ai * b.v[j];
+      t[j] = (u64)c;
+      c >>= 64;
+    }
+    c += t[4];
+    t[4] = (u64)c;
+    t[5] = (u64)(c >> 64);
+
+    u64 m = t[0] * NPRIME;
+    c = (u128)t[0] + (u128)m * P[0];
+    c >>= 64;
+    for (int j = 1; j < 4; j++) {
+      c += (u128)t[j] + (u128)m * P[j];
+      t[j - 1] = (u64)c;
+      c >>= 64;
+    }
+    c += t[4];
+    t[3] = (u64)c;
+    t[4] = t[5] + (u64)(c >> 64);
+    t[5] = 0;
+  }
+  u128 borrow = 0;
+  u64 s[4];
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)t[i] - P[i] - borrow;
+    s[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  if (t[4] || !borrow)
+    memcpy(o.v, s, 32);
+  else
+    memcpy(o.v, t, 32);
+}
+
+static inline void fp_to_mont(Fp &o, const Fp &a) {
+  Fp r2;
+  memcpy(r2.v, R2, 32);
+  fp_mul(o, a, r2);
+}
+
+static inline void fp_from_mont(Fp &o, const Fp &a) {
+  Fp one;
+  memset(one.v, 0, 32);
+  one.v[0] = 1;
+  fp_mul(o, a, one);
+}
+
+// ---- Fp2 = Fp[i] / (i^2 + 1) ---------------------------------------------
+
+struct Fp2 {
+  Fp c0, c1;
+};
+
+static inline bool fp2_is_zero(const Fp2 &a) {
+  return fp_is_zero(a.c0) && fp_is_zero(a.c1);
+}
+
+static inline bool fp2_eq(const Fp2 &a, const Fp2 &b) {
+  return fp_eq(a.c0, b.c0) && fp_eq(a.c1, b.c1);
+}
+
+static inline void fp2_add(Fp2 &o, const Fp2 &a, const Fp2 &b) {
+  fp_add(o.c0, a.c0, b.c0);
+  fp_add(o.c1, a.c1, b.c1);
+}
+
+static inline void fp2_sub(Fp2 &o, const Fp2 &a, const Fp2 &b) {
+  fp_sub(o.c0, a.c0, b.c0);
+  fp_sub(o.c1, a.c1, b.c1);
+}
+
+static inline void fp2_mul(Fp2 &o, const Fp2 &a, const Fp2 &b) {
+  Fp t0, t1, s0, s1, r0, r1;
+  fp_mul(t0, a.c0, b.c0);
+  fp_mul(t1, a.c1, b.c1);
+  fp_add(s0, a.c0, a.c1);
+  fp_add(s1, b.c0, b.c1);
+  fp_mul(r1, s0, s1);
+  fp_sub(r1, r1, t0);
+  fp_sub(r1, r1, t1);
+  fp_sub(r0, t0, t1);
+  o.c0 = r0;
+  o.c1 = r1;
+}
+
+static inline void fp2_to_mont(Fp2 &o, const Fp2 &a) {
+  fp_to_mont(o.c0, a.c0);
+  fp_to_mont(o.c1, a.c1);
+}
+
+static inline void fp2_from_mont(Fp2 &o, const Fp2 &a) {
+  fp_from_mont(o.c0, a.c0);
+  fp_from_mont(o.c1, a.c1);
+}
+
+// ---- generic jacobian point ops over a field F ----------------------------
+
+template <typename F>
+struct Ops;
+
+template <>
+struct Ops<Fp> {
+  static void add(Fp &o, const Fp &a, const Fp &b) { fp_add(o, a, b); }
+  static void sub(Fp &o, const Fp &a, const Fp &b) { fp_sub(o, a, b); }
+  static void mul(Fp &o, const Fp &a, const Fp &b) { fp_mul(o, a, b); }
+  static bool is_zero(const Fp &a) { return fp_is_zero(a); }
+  static bool eq(const Fp &a, const Fp &b) { return fp_eq(a, b); }
+  static void to_mont(Fp &o, const Fp &a) { fp_to_mont(o, a); }
+  static void from_mont(Fp &o, const Fp &a) { fp_from_mont(o, a); }
+  static constexpr int words = 4;
+};
+
+template <>
+struct Ops<Fp2> {
+  static void add(Fp2 &o, const Fp2 &a, const Fp2 &b) { fp2_add(o, a, b); }
+  static void sub(Fp2 &o, const Fp2 &a, const Fp2 &b) { fp2_sub(o, a, b); }
+  static void mul(Fp2 &o, const Fp2 &a, const Fp2 &b) { fp2_mul(o, a, b); }
+  static bool is_zero(const Fp2 &a) { return fp2_is_zero(a); }
+  static bool eq(const Fp2 &a, const Fp2 &b) { return fp2_eq(a, b); }
+  static void to_mont(Fp2 &o, const Fp2 &a) { fp2_to_mont(o, a); }
+  static void from_mont(Fp2 &o, const Fp2 &a) { fp2_from_mont(o, a); }
+  static constexpr int words = 8;
+};
+
+template <typename F>
+struct Pt {
+  F x, y, z;
+};
+
+template <typename F>
+static bool pt_is_identity(const Pt<F> &p) {
+  return Ops<F>::is_zero(p.z);
+}
+
+template <typename F>
+static void pt_identity(Pt<F> &o) {
+  memset(&o, 0, sizeof(o));
+}
+
+template <typename F>
+static void pt_double(Pt<F> &o, const Pt<F> &p) {
+  typedef Ops<F> O;
+  if (pt_is_identity(p)) {
+    o = p;
+    return;
+  }
+  F A, B, C, D, E, Fq, t, x3, y3, z3;
+  O::mul(A, p.x, p.x);
+  O::mul(B, p.y, p.y);
+  O::mul(C, B, B);
+  O::add(D, p.x, B);
+  O::mul(D, D, D);
+  O::sub(D, D, A);
+  O::sub(D, D, C);
+  O::add(D, D, D);
+  O::add(E, A, A);
+  O::add(E, E, A);
+  O::mul(Fq, E, E);
+  O::sub(x3, Fq, D);
+  O::sub(x3, x3, D);
+  F C8;
+  O::add(C8, C, C);
+  O::add(C8, C8, C8);
+  O::add(C8, C8, C8);
+  O::sub(t, D, x3);
+  O::mul(y3, E, t);
+  O::sub(y3, y3, C8);
+  O::mul(z3, p.y, p.z);
+  O::add(z3, z3, z3);
+  o.x = x3;
+  o.y = y3;
+  o.z = z3;
+}
+
+template <typename F>
+static void pt_add(Pt<F> &o, const Pt<F> &p1, const Pt<F> &p2) {
+  typedef Ops<F> O;
+  if (pt_is_identity(p1)) {
+    o = p2;
+    return;
+  }
+  if (pt_is_identity(p2)) {
+    o = p1;
+    return;
+  }
+  F z1z1, z2z2, u1, u2, s1, s2, t;
+  O::mul(z1z1, p1.z, p1.z);
+  O::mul(z2z2, p2.z, p2.z);
+  O::mul(u1, p1.x, z2z2);
+  O::mul(u2, p2.x, z1z1);
+  O::mul(t, p1.y, p2.z);
+  O::mul(s1, t, z2z2);
+  O::mul(t, p2.y, p1.z);
+  O::mul(s2, t, z1z1);
+  if (O::eq(u1, u2)) {
+    if (O::eq(s1, s2)) {
+      pt_double(o, p1);
+      return;
+    }
+    pt_identity(o);
+    return;
+  }
+  F h, i, j, r, v, x3, y3, z3;
+  O::sub(h, u2, u1);
+  O::add(i, h, h);
+  O::mul(i, i, i);
+  O::mul(j, h, i);
+  O::sub(r, s2, s1);
+  O::add(r, r, r);
+  O::mul(v, u1, i);
+  O::mul(x3, r, r);
+  O::sub(x3, x3, j);
+  O::sub(x3, x3, v);
+  O::sub(x3, x3, v);
+  O::sub(t, v, x3);
+  O::mul(y3, r, t);
+  O::mul(t, s1, j);
+  O::add(t, t, t);
+  O::sub(y3, y3, t);
+  O::add(z3, p1.z, p2.z);
+  O::mul(z3, z3, z3);
+  O::sub(z3, z3, z1z1);
+  O::sub(z3, z3, z2z2);
+  O::mul(z3, z3, h);
+  o.x = x3;
+  o.y = y3;
+  o.z = z3;
+}
+
+static int scalar_bit(const u64 *s, int bit) {
+  return (s[bit >> 6] >> (bit & 63)) & 1;
+}
+
+template <typename F>
+static void pt_scalar_mul(Pt<F> &o, const Pt<F> &p, const u64 *s) {
+  Pt<F> acc;
+  pt_identity(acc);
+  for (int bit = 255; bit >= 0; bit--) {
+    Pt<F> tmp;
+    pt_double(tmp, acc);
+    acc = tmp;
+    if (scalar_bit(s, bit)) {
+      pt_add(tmp, acc, p);
+      acc = tmp;
+    }
+  }
+  o = acc;
+}
+
+template <typename F>
+static void load_pt(Pt<F> &o, const u64 *src) {
+  F tmp;
+  memcpy(&tmp, src, sizeof(F));
+  Ops<F>::to_mont(o.x, tmp);
+  memcpy(&tmp, src + Ops<F>::words, sizeof(F));
+  Ops<F>::to_mont(o.y, tmp);
+  memcpy(&tmp, src + 2 * Ops<F>::words, sizeof(F));
+  Ops<F>::to_mont(o.z, tmp);
+}
+
+template <typename F>
+static void store_pt(u64 *dst, const Pt<F> &p) {
+  F tmp;
+  Ops<F>::from_mont(tmp, p.x);
+  memcpy(dst, &tmp, sizeof(F));
+  Ops<F>::from_mont(tmp, p.y);
+  memcpy(dst + Ops<F>::words, &tmp, sizeof(F));
+  Ops<F>::from_mont(tmp, p.z);
+  memcpy(dst + 2 * Ops<F>::words, &tmp, sizeof(F));
+}
+
+template <typename F>
+static void msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
+  int w = 4;
+  if (n >= 32) w = 8;
+  if (n >= 4096) w = 12;
+  if (n >= 262144) w = 16;
+  int nwin = (256 + w - 1) / w;
+  size_t nbuckets = ((size_t)1 << w) - 1;
+
+  std::vector<Pt<F>> pts(n);
+  for (u64 i = 0; i < n; i++) load_pt(pts[i], points + i * 3 * Ops<F>::words);
+
+  Pt<F> result;
+  pt_identity(result);
+  std::vector<Pt<F>> buckets(nbuckets);
+  std::vector<char> used(nbuckets);
+
+  for (int win = nwin - 1; win >= 0; win--) {
+    for (int k = 0; k < w; k++) {
+      Pt<F> tmp;
+      pt_double(tmp, result);
+      result = tmp;
+    }
+    std::fill(used.begin(), used.end(), 0);
+    int base = win * w;
+    for (u64 i = 0; i < n; i++) {
+      u64 digit = 0;
+      for (int k = w - 1; k >= 0; k--) {
+        int bit = base + k;
+        digit = (digit << 1) | (bit < 256 ? scalar_bit(scalars + i * 4, bit) : 0);
+      }
+      if (!digit) continue;
+      size_t b = digit - 1;
+      if (!used[b]) {
+        buckets[b] = pts[i];
+        used[b] = 1;
+      } else {
+        Pt<F> tmp;
+        pt_add(tmp, buckets[b], pts[i]);
+        buckets[b] = tmp;
+      }
+    }
+    Pt<F> running, windowsum;
+    pt_identity(running);
+    pt_identity(windowsum);
+    for (size_t b = nbuckets; b-- > 0;) {
+      if (used[b]) {
+        Pt<F> tmp;
+        pt_add(tmp, running, buckets[b]);
+        running = tmp;
+      }
+      Pt<F> tmp;
+      pt_add(tmp, windowsum, running);
+      windowsum = tmp;
+    }
+    Pt<F> tmp;
+    pt_add(tmp, result, windowsum);
+    result = tmp;
+  }
+  store_pt(out, result);
+}
+
+template <typename F>
+static void batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
+  Pt<F> b;
+  load_pt(b, base);
+  std::vector<Pt<F>> powers(256);
+  powers[0] = b;
+  for (int i = 1; i < 256; i++) pt_double(powers[i], powers[i - 1]);
+  for (u64 i = 0; i < n; i++) {
+    Pt<F> acc;
+    pt_identity(acc);
+    for (int bit = 0; bit < 256; bit++) {
+      if (scalar_bit(exps + i * 4, bit)) {
+        Pt<F> tmp;
+        pt_add(tmp, acc, powers[bit]);
+        acc = tmp;
+      }
+    }
+    store_pt(out + i * 3 * Ops<F>::words, acc);
+  }
+}
+
+}  // namespace bn
+
+extern "C" {
+
+// G1: points n*12 u64 (jacobian x,y,z plain domain), scalars n*4, out 12
+void vmpc_bn_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
+  bn::msm<bn::Fp>(points, scalars, n, out);
+}
+
+void vmpc_bn_batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
+  bn::batch_exp<bn::Fp>(base, exps, n, out);
+}
+
+void vmpc_bn_scalar_mul(const u64 *point, const u64 *s, u64 *out) {
+  bn::Pt<bn::Fp> p, o;
+  bn::load_pt(p, point);
+  bn::pt_scalar_mul(o, p, s);
+  bn::store_pt(out, o);
+}
+
+// twist: points n*24 u64 (x,y,z each as c0[4],c1[4]), scalars n*4, out 24
+void vmpc_bn2_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
+  bn::msm<bn::Fp2>(points, scalars, n, out);
+}
+
+void vmpc_bn2_batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
+  bn::batch_exp<bn::Fp2>(base, exps, n, out);
+}
+
+}  // extern "C"

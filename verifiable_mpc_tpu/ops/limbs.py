@@ -14,6 +14,7 @@ are jit/vmap/shard_map-compatible.  Modular multiplication is Montgomery
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import numpy as np
@@ -96,6 +97,55 @@ def _acc_matrix(L: int, out_cols: int):
     return T.reshape(2 * L * L, out_cols)
 
 
+_SHIFT_ACCUM = False
+
+
+@contextlib.contextmanager
+def shift_accum():
+    """Force the pad/shift-add accumulation while tracing (Pallas kernel
+    bodies cannot capture the one-hot matmul constant)."""
+    global _SHIFT_ACCUM
+    saved = _SHIFT_ACCUM
+    _SHIFT_ACCUM = True
+    try:
+        yield
+    finally:
+        _SHIFT_ACCUM = saved
+
+
+def _mul_cols_shift(a, b, out_cols):
+    """Exact u32 pad/shift-add column accumulation (no constants captured)."""
+    L = a.shape[-1]
+    batch = a.shape[:-1]
+    prod = a[..., :, None] * b[..., None, :]
+    lo = prod & MASK
+    hi = prod >> LIMB_BITS
+    cols = jnp.zeros(batch + (out_cols,), dtype=jnp.uint32)
+    for i in range(min(L, out_cols)):
+        w_lo = min(L, out_cols - i)
+        row = jnp.concatenate(
+            [
+                jnp.zeros(batch + (i,), jnp.uint32),
+                lo[..., i, :w_lo],
+                jnp.zeros(batch + (out_cols - i - w_lo,), jnp.uint32),
+            ],
+            axis=-1,
+        )
+        cols = cols + row
+        w_hi = min(L, out_cols - i - 1)
+        if w_hi > 0:
+            row = jnp.concatenate(
+                [
+                    jnp.zeros(batch + (i + 1,), jnp.uint32),
+                    hi[..., i, :w_hi],
+                    jnp.zeros(batch + (out_cols - i - 1 - w_hi,), jnp.uint32),
+                ],
+                axis=-1,
+            )
+            cols = cols + row
+    return cols
+
+
 def _mul_cols(a, b, out_cols):
     """Anti-diagonal (column) accumulation of the limb products.
 
@@ -107,6 +157,8 @@ def _mul_cols(a, b, out_cols):
     MXU — it executes as lossy bf16 passes — which this decomposition
     sidesteps while keeping compile time low.)
     """
+    if _SHIFT_ACCUM:
+        return _mul_cols_shift(a, b, out_cols)
     L = a.shape[-1]
     batch = a.shape[:-1]
     prod = a[..., :, None] * b[..., None, :]  # [..., L, L] u32, exact

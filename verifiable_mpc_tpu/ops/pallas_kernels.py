@@ -39,21 +39,29 @@ def _add_kernel(p_ref, np_ref, td_ref, ax, ay, az, at, bx, by, bz, bt,
 
 @functools.lru_cache(maxsize=None)
 def _build_add(n: int, block: int, interpret: bool):
+    from . import limbs as lb
+
     grid = (n // block,)
     spec = pl.BlockSpec((block, 16), lambda i: (i, 0))
     const_spec = pl.BlockSpec((1, 16), lambda i: (0, 0))
     shape = jax.ShapeDtypeStruct((n, 16), jnp.uint32)
-    call = pl.pallas_call(
-        _add_kernel,
-        grid=grid,
-        in_specs=[const_spec] * 3 + [spec] * 8,
-        out_specs=[spec] * 4,
-        out_shape=[shape] * 4,
-        interpret=interpret,
-    )
-    return jax.jit(
-        lambda consts, a, b: tuple(call(*consts, *a, *b))
-    )
+    with lb.shift_accum():  # no captured matmul constants inside the kernel
+        call = pl.pallas_call(
+            _add_kernel,
+            grid=grid,
+            in_specs=[const_spec] * 3 + [spec] * 8,
+            out_specs=[spec] * 4,
+            out_shape=[shape] * 4,
+            interpret=interpret,
+        )
+        fn = jax.jit(lambda consts, a, b: tuple(call(*consts, *a, *b)))
+        # force tracing now, while the shift-accum mode is active
+        dummy_consts = tuple(
+            jnp.zeros((1, 16), jnp.uint32) for _ in range(3)
+        )
+        dummy = tuple(jnp.zeros((n, 16), jnp.uint32) for _ in range(4))
+        fn.lower(dummy_consts, dummy, dummy)
+    return fn
 
 
 def pallas_add(p, q, block: int = DEFAULT_BLOCK, interpret: bool = None):

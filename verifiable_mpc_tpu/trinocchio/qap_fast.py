@@ -1,0 +1,251 @@
+"""Sparse QAP: quasi-linear Pinocchio key generation and proving.
+
+The reference materializes every QAP polynomial by O(d^2) Lagrange
+interpolation per R1CS column and evaluates p by O(m*d) polynomial sums
+(reference qap_creator.py:154-176, pynocchio.py:203-211) — infeasible at
+2^16 gates.  This module works in *evaluation form* with the sparse R1CS
+matrices (the standard production-SNARK layout):
+
+* key generation needs only v_i(s)/w_i(s)/y_i(s): one O(d) Lagrange-basis
+  vector at s and one sparse matvec per column — no polynomials built;
+* the prover computes V = sum c_i v_i (etc.) as sparse matvecs of
+  *evaluations* over the 1..d domain, interpolates once (subproduct trees),
+  multiplies with NTT and divides by t with Newton inversion:
+  O(d log^2 d) total.
+
+The produced keys/proofs are interchangeable with the dense path
+(tests assert equality on small instances).
+"""
+
+from __future__ import annotations
+
+from ..fields import GF
+from ..tools import code_to_r1cs as c2r
+from ..tools import fastpoly
+from ..tools import poly as qc
+from ..ac20.recombine import _recombination_vectors
+
+
+class SparseQAP:
+    """QAP over the 1..d interpolation domain, kept in sparse R1CS form.
+
+    Exposes the same index partitions as the dense QAP
+    (reference code_to_qap.py:30-34) so key/proof code is shared.
+    """
+
+    def __init__(self, code, field):
+        inputs, body = c2r.extract_inputs_and_body(c2r.parse(code))
+        flatcode = c2r.flatten_body(body)
+        varnames = c2r.get_var_placement(inputs, flatcode)
+        A, B, C = c2r.flatcode_to_r1cs(inputs, flatcode)
+        self.field = field
+        self.p = field.modulus
+        self.inputs = inputs
+        self.flatcode = flatcode
+        self.varnames = varnames
+        self.d = len(flatcode)
+        self.m = len(varnames) - 1
+        self.out_ix = varnames.index("~out")
+        self.indices = range(self.m + 1)
+        self.indices_io_and_0 = range(0, self.out_ix + 1)
+        self.indices_io = range(1, self.out_ix + 1)
+        self.indices_mid = range(self.out_ix + 1, self.m + 1)
+
+        # sparse columns: col i -> list of (row j, coeff)
+        def columns(M):
+            cols = [[] for _ in range(self.m + 1)]
+            for j, row in enumerate(M):
+                for i, v in enumerate(row):
+                    if v:
+                        cols[i].append((j, v % self.p))
+            return cols
+
+        self.A_cols = columns(A)
+        self.B_cols = columns(B)
+        self.C_cols = columns(C)
+        self._t_coeffs = None
+
+    # -- target polynomial --------------------------------------------------
+    def t_coeffs(self):
+        """t = prod_{j=1..d} (X - j), built with a product tree."""
+        if self._t_coeffs is None:
+            level = [[(-j) % self.p, 1] for j in range(1, self.d + 1)]
+            while len(level) > 1:
+                nxt = []
+                for i in range(0, len(level) - 1, 2):
+                    nxt.append(fastpoly.poly_mul(level[i], level[i + 1], self.p))
+                if len(level) % 2 == 1:
+                    nxt.append(level[-1])
+                level = nxt
+            self._t_coeffs = level[0] if level else [1]
+        return self._t_coeffs
+
+    @property
+    def t(self):
+        return qc.Poly([self.field(c) for c in self.t_coeffs()])
+
+    # -- evaluation helpers --------------------------------------------------
+    def basis_at(self, s: int):
+        """[lambda_j(s) for j = 1..d] in O(d) (consecutive-node fast path)."""
+        row = _recombination_vectors(self.field, tuple(range(1, self.d + 1)), (int(s),))
+        return row[0]
+
+    def vwy_at(self, s: int):
+        """(v_i(s), w_i(s), y_i(s)) for all i, via sparse matvecs."""
+        lam = self.basis_at(s)
+        p = self.p
+
+        def col_eval(cols):
+            out = [0] * (self.m + 1)
+            for i, col in enumerate(cols):
+                acc = 0
+                for j, coeff in col:
+                    acc += coeff * lam[j]
+                out[i] = acc % p
+            return out
+
+        return col_eval(self.A_cols), col_eval(self.B_cols), col_eval(self.C_cols)
+
+    def calculate_witness(self, input_vars):
+        witness = c2r.assign_variables(self.inputs, input_vars, self.flatcode)
+        assert int(witness[0]) == 1, "First coordinate of witness != 1"
+        return witness
+
+    # -- prover-side evaluations --------------------------------------------
+    def vwy_evals(self, c_vals):
+        """Evaluations of V = sum c_i v_i, W, Y over rows 1..d: these are
+        exactly the sparse R1CS row combinations A_j . c, B_j . c, C_j . c."""
+        p = self.p
+        c_int = [int(v) % p for v in c_vals]
+        V = [0] * self.d
+        W = [0] * self.d
+        Y = [0] * self.d
+        for cols, out in ((self.A_cols, V), (self.B_cols, W), (self.C_cols, Y)):
+            for i, col in enumerate(cols):
+                ci = c_int[i]
+                if ci == 0:
+                    continue
+                for j, coeff in col:
+                    out[j] = (out[j] + coeff * ci) % p
+        return V, W, Y
+
+    def h_coeffs(self, c_vals):
+        """Coefficients of h = (V*W - Y) / t, exact division, O(d log^2 d)."""
+        p = self.p
+        V, W, Y = self.vwy_evals(c_vals)
+        pts = list(range(1, self.d + 1))
+        v_poly = fastpoly.interpolate(pts, V, p)
+        w_poly = fastpoly.interpolate(pts, W, p)
+        y_poly = fastpoly.interpolate(pts, Y, p)
+        prod = fastpoly.poly_mul(v_poly, w_poly, p)
+        p_poly = [
+            (a - b) % p
+            for a, b in zip(prod, y_poly + [0] * (len(prod) - len(y_poly)))
+        ]
+        q, r = fastpoly.poly_divmod(p_poly, self.t_coeffs(), p)
+        assert all(x == 0 for x in r), "p(x) not divisible by t(x): bad witness"
+        return q
+
+
+def generate_keys_fast(td, qap: SparseQAP, gen):
+    """Evaluation-form key generation: one basis vector at td.s + sparse
+    matvecs + batched fixed-base exponentiations (same key format as
+    reference pynocchio.py:101-200)."""
+    from ..ops.dispatch import batch_exp
+    from ..tools.fastpoly import _horner
+
+    p = qap.p
+    s = td.s % p
+    v_s, w_s, y_s = qap.vwy_at(s)
+    t_s = _horner(qap.t_coeffs(), s, p)
+
+    mid = list(qap.indices_mid)
+    evalkey = {}
+
+    def fill(fmt, base, scale, vals, indices):
+        scalars = [scale * int(vals[i]) % p for i in indices]
+        pts = batch_exp(base, scalars)
+        for idx, pt in zip(indices, pts):
+            evalkey[fmt.format(idx)] = pt
+
+    fill("r_v*v{}*g1", gen.g1, td.r_v, v_s, mid)
+    fill("r_w*w{}*g2", gen.g2, td.r_w, w_s, mid)
+    fill("r_y*y{}*g1", gen.g1, td.r_y, y_s, mid)
+    fill("r_v*alpha_v*v{}*g1", gen.g1, td.r_v * td.alpha_v % p, v_s, mid)
+    fill("r_w*alpha_w*w{}*g1", gen.g1, td.r_w * td.alpha_w % p, w_s, mid)
+    fill("r_y*alpha_y*y{}*g1", gen.g1, td.r_y * td.alpha_y % p, y_s, mid)
+    beta_combined = [
+        (td.r_v * td.beta * int(v_s[i]) + td.r_w * td.beta * int(w_s[i])
+         + td.r_y * td.beta * int(y_s[i])) % p
+        for i in range(qap.m + 1)
+    ]
+    pts = batch_exp(gen.g1, [beta_combined[i] for i in mid])
+    for idx, pt in zip(mid, pts):
+        evalkey[f"r_v*beta*v+r_w*beta*w+r_y*beta*y{idx}_g1"] = pt
+
+    s_powers = []
+    acc = 1
+    for _ in range(qap.d + 1):
+        s_powers.append(acc)
+        acc = acc * s % p
+    pts = batch_exp(gen.g1, s_powers)
+    for i, pt in enumerate(pts):
+        evalkey[f"s^{i}*g1"] = pt
+
+    evalkey["r_v*t*g1"] = gen.g1 ** (td.r_v * t_s % p)
+    evalkey["r_w*t*g2"] = gen.g2 ** (td.r_w * t_s % p)
+    evalkey["r_y*t*g1"] = gen.g1 ** (td.r_y * t_s % p)
+    evalkey["r_v*alpha_v*t*g1"] = gen.g1 ** (td.r_v * td.alpha_v * t_s % p)
+    evalkey["r_w*alpha_w*t*g1"] = gen.g1 ** (td.r_w * td.alpha_w * t_s % p)
+    evalkey["r_y*alpha_y*t*g1"] = gen.g1 ** (td.r_y * td.alpha_y * t_s % p)
+    evalkey["r_v*beta*t*g1"] = gen.g1 ** (td.r_v * td.beta * t_s % p)
+    evalkey["r_w*beta*t*g1"] = gen.g1 ** (td.r_w * td.beta * t_s % p)
+    evalkey["r_y*beta*t*g1"] = gen.g1 ** (td.r_y * td.beta * t_s % p)
+    evalkey["t*g1"] = gen.g1 ** t_s
+
+    verikey = {
+        "g1": gen.g1,
+        "g2": gen.g2,
+        "alpha_v*g2": td.alpha_v * gen.g2,
+        "alpha_w*g1": td.alpha_w * gen.g1,
+        "alpha_y*g2": td.alpha_y * gen.g2,
+        "gamma*g2": td.gamma * gen.g2,
+        "beta*gamma*g1": (td.beta * td.gamma) * gen.g1,
+        "beta*gamma*g2": (td.beta * td.gamma) * gen.g2,
+        "r_y*t*g2": gen.g2 ** (td.r_y * t_s % p),
+    }
+    for i in qap.indices_io_and_0:
+        verikey[f"r_v*v{i}*g1"] = gen.g1 ** (td.r_v * int(v_s[i]) % p)
+        verikey[f"r_w*w{i}*g2"] = gen.g2 ** (td.r_w * int(w_s[i]) % p)
+        verikey[f"r_y*y{i}*g1"] = gen.g1 ** (td.r_y * int(y_s[i]) % p)
+    return evalkey, verikey
+
+
+def compute_proof_fast(qap: SparseQAP, c_vals, evalkey, deltas=None):
+    """Prover via evaluation-form h and the shared MSM path."""
+    from . import pynocchio
+
+    h = qc.Poly([qap.field(x) for x in qap.h_coeffs(c_vals)])
+    if deltas is not None:
+        h = h + pynocchio_h_zk_terms(qap, c_vals, deltas)
+    return pynocchio.compute_proof(qap, c_vals, h, evalkey, deltas)
+
+
+def pynocchio_h_zk_terms(qap: SparseQAP, c_vals, deltas):
+    """ZK correction terms (reference pynocchio.py:214-225) in sparse form:
+    delta_v*W + delta_w*V + delta_v*delta_w*t - delta_y."""
+    p = qap.p
+    V, W, Y = qap.vwy_evals(c_vals)
+    pts = list(range(1, qap.d + 1))
+    v_poly = fastpoly.interpolate(pts, V, p)
+    w_poly = fastpoly.interpolate(pts, W, p)
+    out_len = max(len(v_poly), len(w_poly), len(qap.t_coeffs()))
+    out = [0] * out_len
+    for i, c in enumerate(w_poly):
+        out[i] = (out[i] + deltas.v * c) % p
+    for i, c in enumerate(v_poly):
+        out[i] = (out[i] + deltas.w * c) % p
+    for i, c in enumerate(qap.t_coeffs()):
+        out[i] = (out[i] + deltas.v * deltas.w % p * c) % p
+    out[0] = (out[0] - deltas.y) % p
+    return qc.Poly([qap.field(x) for x in out])
