@@ -24,7 +24,7 @@ PIVOT = cs.PivotChoice.compressed
 GROUP = "QR"
 
 
-def main(pivot_choice, n=3, group_choice=None, verbose=True):
+def main(pivot_choice, n=3, group_choice=None, verbose=True, save_proof=None):
     group_choice = group_choice or GROUP
     if verbose:
         print("Pivot selected: ", pivot_choice)
@@ -69,6 +69,13 @@ def main(pivot_choice, n=3, group_choice=None, verbose=True):
         print("Generators created/trusted setup done.")
         print("Start non-interactive circuit satisfiability proof.")
     proof = cs.circuit_sat_prover(generators, circuit, x, gf, pivot_choice)
+    if save_proof:
+        from verifiable_mpc_tpu import checkpoint
+
+        checkpoint.save(proof, save_proof)
+        proof = checkpoint.load(save_proof)  # verify the serialized artifact
+        if verbose:
+            print(f"Proof checkpointed to {save_proof}.")
     if verbose:
         print("Start verification.")
     verification = cs.circuit_sat_verifier(proof, generators, circuit, gf, pivot_choice)
@@ -87,6 +94,8 @@ if __name__ == "__main__":
                         help="use basic pivot (not the compressed pivot)")
     parser.add_argument("--koe", action="store_true",
                         help="use pivot based on Knowledge-of-Exponent assumption and BN256 curves")
+    parser.add_argument("--save-proof", type=str, default=None,
+                        help="serialize the proof to this path and verify the reloaded artifact")
     args = parser.parse_args()
     if args.elliptic:
         GROUP = "Elliptic"
@@ -95,4 +104,4 @@ if __name__ == "__main__":
     elif args.koe:
         PIVOT = cs.PivotChoice.koe
 
-    main(PIVOT, args.n)
+    main(PIVOT, args.n, save_proof=args.save_proof)

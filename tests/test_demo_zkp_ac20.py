@@ -39,3 +39,18 @@ def test_demo_basic_pivot_elliptic():
 def test_demo_koe():
     v = demo.main(cs.PivotChoice.koe, n=3, verbose=False)
     assert all(_flatten(v).values()), v
+
+
+def test_demo_proof_checkpoint(tmp_path):
+    path = str(tmp_path / "proof.vmpc")
+    v = demo.main(
+        cs.PivotChoice.compressed,
+        n=3,
+        group_choice="Elliptic",
+        verbose=False,
+        save_proof=path,
+    )
+    assert all(_flatten(v).values()), v
+    import os
+
+    assert os.path.getsize(path) > 100

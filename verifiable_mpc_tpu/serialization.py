@@ -85,30 +85,23 @@ def _encode(buf, obj):
             _encode(buf, k)
             _encode(buf, v)
     elif isinstance(obj, EdwardsPoint):
-        n = obj.normalize()
+        # exact projective coordinates: Fiat-Shamir transcripts hash the
+        # (possibly unnormalized) repr, so serialization must round-trip it
         buf.write(bytes([T_ED]))
-        _w_int(buf, n.x)
-        _w_int(buf, n.y)
+        _w_int(buf, obj.x)
+        _w_int(buf, obj.y)
+        _w_int(buf, obj.z)
+        _w_int(buf, obj.t)
     elif isinstance(obj, BNPoint):
         buf.write(bytes([T_BN]))
-        if BNPoint._is_identity(obj):
-            buf.write(bytes([0]))
-        else:
-            n = obj.normalize()
-            buf.write(bytes([1]))
-            _w_int(buf, n.x.value)
-            _w_int(buf, n.y.value)
+        _w_int(buf, obj.x.value)
+        _w_int(buf, obj.y.value)
+        _w_int(buf, obj.z.value)
     elif isinstance(obj, BNTwistPoint):
         buf.write(bytes([T_BN2]))
-        if BNTwistPoint._is_identity(obj):
-            buf.write(bytes([0]))
-        else:
-            n = obj.normalize()
-            buf.write(bytes([1]))
-            _w_int(buf, n.x.c0)
-            _w_int(buf, n.x.c1)
-            _w_int(buf, n.y.c0)
-            _w_int(buf, n.y.c1)
+        for c in (obj.x, obj.y, obj.z):
+            _w_int(buf, c.c0)
+            _w_int(buf, c.c1)
     elif isinstance(obj, QuadraticResidueElement):
         buf.write(bytes([T_QR]))
         _w_int(buf, type(obj).modulus)
@@ -160,19 +153,17 @@ def _decode(buf):
     if tag == T_ED:
         x = _r_int(buf)
         y = _r_int(buf)
-        return EdwardsPoint(x, y)
+        z = _r_int(buf)
+        t = _r_int(buf)
+        return EdwardsPoint(x, y, z, t)
     if tag == T_BN:
-        if buf.read(1)[0] == 0:
-            return BNPoint.identity
         x = _r_int(buf)
         y = _r_int(buf)
-        return BNPoint(x, y)
+        z = _r_int(buf)
+        return BNPoint(x, y, z, check=False)
     if tag == T_BN2:
-        if buf.read(1)[0] == 0:
-            return BNTwistPoint.identity
-        x = GFp2(_r_int(buf), _r_int(buf))
-        y = GFp2(_r_int(buf), _r_int(buf))
-        return BNTwistPoint(x, y)
+        coords = [GFp2(_r_int(buf), _r_int(buf)) for _ in range(3)]
+        return BNTwistPoint(*coords, check=False)
     if tag == T_QR:
         modulus = _r_int(buf)
         value = _r_int(buf)
