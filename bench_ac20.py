@@ -25,10 +25,13 @@ import verifiable_mpc_tpu.ac20.circuit_builder as cb
 import verifiable_mpc_tpu.ac20.circuit_sat_cb as cs
 
 
-def build_chain_circuit(n_muls: int):
-    """x_{i+1} = x_i * x_i + 1 chain: n_muls multiplication gates."""
+def build_chain_circuit(n_muls: int, gf):
+    """x_{i+1} = x_i * x_i + 1 chain: n_muls multiplication gates.
+
+    Values are field elements so the witness stays reduced (plain ints would
+    double in bit length at every squaring)."""
     circuit = cb.Circuit()
-    x = cb.CircuitVar(3, circuit, "x")
+    x = cb.CircuitVar(gf(3), circuit, "x")
     acc = x
     for _ in range(n_muls - 1):
         acc = acc * acc + 1
@@ -56,21 +59,21 @@ def main():
     n_muls = 1 << args.log2_muls
     phases = Phases()
 
+    group = EllipticCurve("Ed25519", "projective")
+    gf = GF(group.order)
+
     with phases.phase("build_circuit"):
-        circuit = build_chain_circuit(n_muls)
+        circuit = build_chain_circuit(n_muls, gf)
     x = circuit.initial_inputs()
     check, padding, g_length = cs.check_input_length_power_of_2(x, circuit)
     with phases.phase("pad"):
         for i in range(padding):
-            cb.CircuitVar(0, circuit, "unused_" + str(i))
+            cb.CircuitVar(gf(0), circuit, "unused_" + str(i))
         x = circuit.initial_inputs()
     print(
         f"muls={circuit.mul_ct} commitment vector length={g_length}",
         file=sys.stderr,
     )
-
-    group = EllipticCurve("Ed25519", "projective")
-    gf = GF(group.order)
 
     with phases.phase("generators"):
         generators = cs.create_generators(g_length, cs.PivotChoice.compressed, group)

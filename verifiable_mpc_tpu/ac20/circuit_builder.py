@@ -402,21 +402,27 @@ def twos_complement(value, bit_length):
 
 
 def print_circuit(circuit):
+    """Canonical string of the circuit (hashed by the Fiat-Shamir transcript,
+    reference circuit_sat_cb.py:107).
+
+    Iterative DFS that expands every gate at most once: the reference's
+    recursive tree expansion (circuit_builder.py:410-414) is exponential on
+    DAGs with shared sub-expressions (e.g. x*x chains) — re-referenced gates
+    are printed but not re-expanded.
+    """
     ret = []
+    seen = set()
     for gate in circuit.out_gates():
-        _print_out_gate(circuit, gate, 0, ret)
+        stack = [(gate, 0)]
+        while stack:
+            g, lvl = stack.pop()
+            ret.append("\t" * lvl + str(g) + "\n")
+            if g.index in seen:
+                continue
+            seen.add(g.index)
+            for child in reversed(circuit.children(g)):
+                stack.append((child, lvl + 1))
     return "".join(ret)
-
-
-def _print_out_gate(circuit, gate, level, out):
-    # iterative DFS to survive 2^16-gate circuits (reference :410-414 recurses)
-    stack = [(gate, level)]
-    while stack:
-        g, lvl = stack.pop()
-        out.append("\t" * lvl + str(g) + "\n")
-        children = circuit.children(g)
-        for child in reversed(children):
-            stack.append((child, lvl + 1))
 
 
 # ---------------------------------------------------------------------------

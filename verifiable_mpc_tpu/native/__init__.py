@@ -32,6 +32,7 @@ def _build() -> bool:
         "g++",
         "-O3",
         "-march=native",
+        "-fopenmp",
         "-shared",
         "-fPIC",
         "-o",

@@ -362,20 +362,16 @@ static void msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
   size_t nbuckets = ((size_t)1 << w) - 1;
 
   std::vector<Pt<F>> pts(n);
-  for (u64 i = 0; i < n; i++) load_pt(pts[i], points + i * 3 * Ops<F>::words);
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < (long long)n; i++)
+    load_pt(pts[i], points + i * 3 * Ops<F>::words);
 
-  Pt<F> result;
-  pt_identity(result);
-  std::vector<Pt<F>> buckets(nbuckets);
-  std::vector<char> used(nbuckets);
-
-  for (int win = nwin - 1; win >= 0; win--) {
-    for (int k = 0; k < w; k++) {
-      Pt<F> tmp;
-      pt_double(tmp, result);
-      result = tmp;
-    }
-    std::fill(used.begin(), used.end(), 0);
+  // windows are independent: bucket-accumulate them in parallel
+  std::vector<Pt<F>> window_sums(nwin);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int win = 0; win < nwin; win++) {
+    std::vector<Pt<F>> buckets(nbuckets);
+    std::vector<char> used(nbuckets, 0);
     int base = win * w;
     for (u64 i = 0; i < n; i++) {
       u64 digit = 0;
@@ -407,8 +403,20 @@ static void msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
       pt_add(tmp, windowsum, running);
       windowsum = tmp;
     }
+    window_sums[win] = windowsum;
+  }
+
+  // Horner combine across windows (sequential, nwin*w doublings)
+  Pt<F> result;
+  pt_identity(result);
+  for (int win = nwin - 1; win >= 0; win--) {
+    for (int k = 0; k < w; k++) {
+      Pt<F> tmp;
+      pt_double(tmp, result);
+      result = tmp;
+    }
     Pt<F> tmp;
-    pt_add(tmp, result, windowsum);
+    pt_add(tmp, result, window_sums[win]);
     result = tmp;
   }
   store_pt(out, result);
@@ -421,7 +429,8 @@ static void batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
   std::vector<Pt<F>> powers(256);
   powers[0] = b;
   for (int i = 1; i < 256; i++) pt_double(powers[i], powers[i - 1]);
-  for (u64 i = 0; i < n; i++) {
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < (long long)n; i++) {
     Pt<F> acc;
     pt_identity(acc);
     for (int bit = 0; bit < 256; bit++) {

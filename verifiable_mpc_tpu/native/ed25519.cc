@@ -251,21 +251,15 @@ void vmpc_ed_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
   size_t nbuckets = ((size_t)1 << w) - 1;
 
   std::vector<Pt> pts(n);
-  for (u64 i = 0; i < n; i++) load_pt(pts[i], points + i * 16);
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < (long long)n; i++) load_pt(pts[i], points + i * 16);
 
-  Pt result;
-  pt_identity(result);
-  std::vector<Pt> buckets(nbuckets);
-  std::vector<char> used(nbuckets);
-
-  for (int win = nwin - 1; win >= 0; win--) {
-    // result <<= w
-    for (int k = 0; k < w; k++) {
-      Pt tmp;
-      pt_double(tmp, result);
-      result = tmp;
-    }
-    std::fill(used.begin(), used.end(), 0);
+  // windows are independent: bucket-accumulate them in parallel
+  std::vector<Pt> window_sums(nwin);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int win = 0; win < nwin; win++) {
+    std::vector<Pt> buckets(nbuckets);
+    std::vector<char> used(nbuckets, 0);
     int base = win * w;
     for (u64 i = 0; i < n; i++) {
       u64 digit = 0;
@@ -298,8 +292,19 @@ void vmpc_ed_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
       pt_add(tmp, windowsum, running);
       windowsum = tmp;
     }
+    window_sums[win] = windowsum;
+  }
+
+  Pt result;
+  pt_identity(result);
+  for (int win = nwin - 1; win >= 0; win--) {
+    for (int k = 0; k < w; k++) {
+      Pt tmp;
+      pt_double(tmp, result);
+      result = tmp;
+    }
     Pt tmp;
-    pt_add(tmp, result, windowsum);
+    pt_add(tmp, result, window_sums[win]);
     result = tmp;
   }
   store_pt(out, result);
@@ -314,7 +319,8 @@ void vmpc_ed_batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
   std::vector<Pt> powers(256);
   powers[0] = b;
   for (int i = 1; i < 256; i++) pt_double(powers[i], powers[i - 1]);
-  for (u64 i = 0; i < n; i++) {
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < (long long)n; i++) {
     Pt acc;
     pt_identity(acc);
     for (int bit = 0; bit < 256; bit++) {
@@ -331,7 +337,8 @@ void vmpc_ed_batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
 // gl, gr: n*16, c: 4 u64, out: n*16  (out_i = gl_i^c * gr_i)
 void vmpc_ed_fold(const u64 *gl, const u64 *gr, const u64 *c, u64 n, u64 *out) {
   init_constants();
-  for (u64 i = 0; i < n; i++) {
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < (long long)n; i++) {
     Pt l, r, s, tmp;
     load_pt(l, gl + i * 16);
     load_pt(r, gr + i * 16);

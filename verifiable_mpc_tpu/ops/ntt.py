@@ -182,7 +182,7 @@ def poly_mul_ints(a, b, use_device=None) -> list:
 
 
 def _poly_mul_host(a, b, out_len, n, P):
-    w = pow(_primitive_root_of_unity(P, n), 1, P)
+    w = _primitive_root_of_unity(P, n)
     fa = _ntt_host(list(a) + [0] * (n - len(a)), P, w)
     fb = _ntt_host(list(b) + [0] * (n - len(b)), P, w)
     fc = [x * y % P for x, y in zip(fa, fb)]
@@ -192,19 +192,42 @@ def _poly_mul_host(a, b, out_len, n, P):
     return [c * n_inv % P for c in out[:out_len]]
 
 
+@functools.lru_cache(maxsize=None)
+def _host_plan(n: int):
+    """Butterfly plan as plain Python lists (numpy scalar indexing is ~10x
+    slower in the hot loop)."""
+    rev, idx_a, idx_b, idx_w = _plan(n)
+    return (
+        rev.tolist(),
+        [row.tolist() for row in idx_a],
+        [row.tolist() for row in idx_b],
+        [row.tolist() for row in idx_w],
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _host_twiddles(P: int, w: int, half: int):
+    tw = [1] * half
+    for i in range(1, half):
+        tw[i] = tw[i - 1] * w % P
+    return tw
+
+
 def _ntt_host(values, P, w):
     n = len(values)
-    rev, idx_a, idx_b, idx_w = _plan(n)
-    x = [values[rev[i]] for i in range(n)]
-    tw = [1] * (n // 2)
-    for i in range(1, n // 2):
-        tw[i] = tw[i - 1] * w % P
+    rev, idx_a, idx_b, idx_w = _host_plan(n)
+    x = [values[r] for r in rev]
+    tw = _host_twiddles(P, w, n // 2)
     stages = n.bit_length() - 1
     for s in range(stages):
+        ia_row = idx_a[s]
+        ib_row = idx_b[s]
+        iw_row = idx_w[s]
         for pos in range(n // 2):
-            ia, ib, iw = idx_a[s, pos], idx_b[s, pos], idx_w[s, pos]
+            ia = ia_row[pos]
+            ib = ib_row[pos]
+            v = x[ib] * tw[iw_row[pos]] % P
             u = x[ia]
-            v = x[ib] * tw[iw] % P
             x[ia] = (u + v) % P
             x[ib] = (u - v) % P
     return x

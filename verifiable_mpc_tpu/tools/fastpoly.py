@@ -52,17 +52,40 @@ def poly_scale(a, c, p):
 
 
 def poly_inv_series(f, k, p):
-    """g with f*g = 1 mod x^k (Newton iteration, f[0] invertible)."""
+    """g with f*g = 1 mod x^k (Newton iteration, f[0] invertible).
+
+    Cached per (f, rounded k): remainder trees divide by the same node
+    polynomials repeatedly (once per transform over the shared domain)."""
+    import functools as _ft
+
+    k_round = 1 << max(0, (k - 1)).bit_length()  # prefix-stable: compute more
+    return list(_inv_series_cached(tuple(f), k_round, p))[:k]
+
+
+def _inv_series_uncached(f, k, p):
     g = [pow(f[0], -1, p)]
     length = 1
     while length < k:
         length = min(2 * length, k)
-        fg = poly_mul(f[:length], g, p)[:length]
-        # g <- g * (2 - f g) mod x^length
+        fg = poly_mul(list(f)[:length], g, p)[:length]
         two_minus = [(-c) % p for c in fg]
         two_minus[0] = (2 - fg[0]) % p
         g = poly_mul(g, two_minus, p)[:length]
     return g[:k]
+
+
+def _inv_series_cached(f_key, k, p):
+    key = (f_key, k, p)
+    cached = _INV_CACHE.get(key)
+    if cached is None:
+        cached = _inv_series_uncached(f_key, k, p)
+        if len(_INV_CACHE) > 512:
+            _INV_CACHE.clear()
+        _INV_CACHE[key] = cached
+    return cached
+
+
+_INV_CACHE = {}
 
 
 def poly_divmod(a, b, p):
@@ -104,9 +127,12 @@ def _naive_divmod(a, b, p):
 # ---------------------------------------------------------------------------
 
 
-def _subproduct_tree(points, p):
-    """tree[0] = [(x - u_i)]; tree[k][j] = product of a 2^k-run of leaves."""
-    level = [[(-u) % p, 1] for u in points]
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _subproduct_tree_cached(points_key, p):
+    level = [[(-u) % p, 1] for u in points_key]
     tree = [level]
     while len(level) > 1:
         nxt = []
@@ -117,6 +143,14 @@ def _subproduct_tree(points, p):
         level = nxt
         tree.append(level)
     return tree
+
+
+def _subproduct_tree(points, p):
+    """tree[0] = [(x - u_i)]; tree[k][j] = product of a 2^k-run of leaves.
+
+    Cached per point set: the protocol reuses the 1..m and m+2..2m domains
+    for f, g and h within one proof (and across proofs)."""
+    return _subproduct_tree_cached(tuple(points), p)
 
 
 def multipoint_eval(f, points, p):
