@@ -65,10 +65,24 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
 
     a, b, c = circuit.multiplication_triples(x)
 
-    f_poly, g_poly, h_poly = calculate_fgh_polys(a, b, None, gf)
+    from .circuit_sat_r1cs import (
+        _FAST_POLY_THRESHOLD,
+        _plain_values,
+        calculate_fgh_evaluations,
+    )
 
-    h_evaluations = evaluate_at_range(h_poly, 1, 2 * m, gf)
-    z = list(x) + [f_poly.eval(0), g_poly.eval(0), h_poly.eval(0)] + h_evaluations
+    f_poly = None
+    if m >= _FAST_POLY_THRESHOLD and _plain_values(a):
+        f0, g0, h0, h_evaluations = calculate_fgh_evaluations(a, b, gf)
+        z = list(x) + [f0, g0, h0] + h_evaluations
+    else:
+        f_poly, g_poly, h_poly = calculate_fgh_polys(a, b, None, gf)
+        h_evaluations = evaluate_at_range(h_poly, 1, 2 * m, gf)
+        z = (
+            list(x)
+            + [f_poly.eval(0), g_poly.eval(0), h_poly.eval(0)]
+            + h_evaluations
+        )
 
     gamma = rng.randrange(1, gf.order)
 
@@ -93,10 +107,11 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
     c = pivot.fiat_shamir_hash(input_list, gf.order)
     logger_cs2_hout.debug(f"After hash, hash=\n{c}")
 
-    y1 = f_poly.eval(c)
-    y2 = g_poly.eval(c)
-    y3 = h_poly.eval(c)
-    assert y3 == y1 * y2
+    if f_poly is not None:  # evaluation-form path skips the redundant check
+        y1 = f_poly.eval(c)
+        y2 = g_poly.eval(c)
+        y3 = h_poly.eval(c)
+        assert y3 == y1 * y2
 
     linform_f = cb.calculate_fg_form(circuit, wire=0, challenge=c, gf=gf)
     linform_g = cb.calculate_fg_form(circuit, wire=1, challenge=c, gf=gf)

@@ -38,6 +38,12 @@ def next_power_of_2(x):
     return 1 << (x).bit_length()
 
 
+def _plain_values(values):
+    from ..fields import FiniteFieldElement
+
+    return all(isinstance(v, (int, FiniteFieldElement)) for v in values)
+
+
 def input_length_power_of_2(x, code, pad_with=0):
     """Pad code and x so len(z)+1 is a power of two (reference :96-128)."""
     inputs, body = c2r.extract_inputs_and_body(c2r.parse(code))
@@ -299,6 +305,37 @@ def calculate_fgh_polys(a, b, c, gf):
     return f_poly, g_poly, h_poly
 
 
+def calculate_fgh_evaluations(a, b, gf):
+    """(f(0), g(0), h(0), [h(1..2m)]) built purely in evaluation form.
+
+    f interpolates a + [r_a] at 1..m+1 (same polynomial as
+    calculate_fgh_polys); its values at 0 and m+2..2m come from one
+    extrapolation, and h's evaluations are pointwise products — the
+    degree-2m coefficient product of the reference (qap_creator.py:62-67)
+    is never formed.
+    """
+    from ..tools import fastpoly
+
+    m = len(a)
+    p = gf.modulus
+    r_a = rng.randrange(1, gf.order)
+    r_b = rng.randrange(1, gf.order)
+    f_vals = [int(gf(v)) % p for v in a] + [r_a]  # f(1..m+1)
+    g_vals = [int(gf(v)) % p for v in b] + [r_b]
+    pts = list(range(1, m + 2))
+    targets = [0] + list(range(m + 2, 2 * m + 1))
+    f_coeffs = fastpoly.interpolate(pts, f_vals, p)
+    g_coeffs = fastpoly.interpolate(pts, g_vals, p)
+    f_ext = fastpoly.multipoint_eval(f_coeffs, targets, p)
+    g_ext = fastpoly.multipoint_eval(g_coeffs, targets, p)
+    f0, f_hi = f_ext[0], f_ext[1:]
+    g0, g_hi = g_ext[0], g_ext[1:]
+    f_all = f_vals + f_hi  # f(1..2m)
+    g_all = g_vals + g_hi
+    h_evals = [gf(u * v) for u, v in zip(f_all, g_all)]
+    return gf(f0), gf(g0), gf(f0 * g0), h_evals
+
+
 def evaluate_at_range(poly, start, count, gf):
     """[poly(start), ..., poly(start+count-1)] — fast multi-point evaluation
     above the threshold (the h(1..2m) vector, reference :427)."""
@@ -335,10 +372,18 @@ def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
     a, b = calculate_ab_vectors(r1cs, xc, mul_indices_of_flatcode)
     c = [a_i * b_i for a_i, b_i in zip(a, b)]
 
-    f_poly, g_poly, h_poly = calculate_fgh_polys(a, b, c, gf)
-
-    h_evaluations = evaluate_at_range(h_poly, 1, 2 * m, gf)
-    z = list(x) + [f_poly.eval(0), g_poly.eval(0), h_poly.eval(0)] + h_evaluations
+    f_poly = None
+    if m >= _FAST_POLY_THRESHOLD and _plain_values(a):
+        f0, g0, h0, h_evaluations = calculate_fgh_evaluations(a, b, gf)
+        z = list(x) + [f0, g0, h0] + h_evaluations
+    else:
+        f_poly, g_poly, h_poly = calculate_fgh_polys(a, b, c, gf)
+        h_evaluations = evaluate_at_range(h_poly, 1, 2 * m, gf)
+        z = (
+            list(x)
+            + [f_poly.eval(0), g_poly.eval(0), h_poly.eval(0)]
+            + h_evaluations
+        )
 
     gamma = rng.randrange(1, gf.order)
 
@@ -359,10 +404,11 @@ def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
     c = pivot.fiat_shamir_hash(input_list, gf.order)
     logger_cs_hout.debug(f"After hash, hash=\n{c}")
 
-    y1 = f_poly.eval(c)
-    y2 = g_poly.eval(c)
-    y3 = h_poly.eval(c)
-    assert y3 == y1 * y2
+    if f_poly is not None:  # evaluation-form path skips the redundant check
+        y1 = f_poly.eval(c)
+        y2 = g_poly.eval(c)
+        y3 = h_poly.eval(c)
+        assert y3 == y1 * y2
 
     linform_f, linform_g, linform_h = create_fgh_linear_forms(
         r1cs, c, varnames, flatcode, mul_indices_of_flatcode, n, m, gf
