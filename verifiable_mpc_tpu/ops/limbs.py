@@ -120,29 +120,25 @@ def _mul_cols_shift(a, b, out_cols):
     prod = a[..., :, None] * b[..., None, :]
     lo = prod & MASK
     hi = prod >> LIMB_BITS
+    def shifted(row_vals, offset):
+        # Mosaic rejects zero-sized vector segments, so only emit nonempty ones
+        width = row_vals.shape[-1]
+        segs = []
+        if offset > 0:
+            segs.append(jnp.zeros(batch + (offset,), jnp.uint32))
+        segs.append(row_vals)
+        tail = out_cols - offset - width
+        if tail > 0:
+            segs.append(jnp.zeros(batch + (tail,), jnp.uint32))
+        return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-1)
+
     cols = jnp.zeros(batch + (out_cols,), dtype=jnp.uint32)
     for i in range(min(L, out_cols)):
         w_lo = min(L, out_cols - i)
-        row = jnp.concatenate(
-            [
-                jnp.zeros(batch + (i,), jnp.uint32),
-                lo[..., i, :w_lo],
-                jnp.zeros(batch + (out_cols - i - w_lo,), jnp.uint32),
-            ],
-            axis=-1,
-        )
-        cols = cols + row
+        cols = cols + shifted(lo[..., i, :w_lo], i)
         w_hi = min(L, out_cols - i - 1)
         if w_hi > 0:
-            row = jnp.concatenate(
-                [
-                    jnp.zeros(batch + (i + 1,), jnp.uint32),
-                    hi[..., i, :w_hi],
-                    jnp.zeros(batch + (out_cols - i - 1 - w_hi,), jnp.uint32),
-                ],
-                axis=-1,
-            )
-            cols = cols + row
+            cols = cols + shifted(hi[..., i, :w_hi], i + 1)
     return cols
 
 
