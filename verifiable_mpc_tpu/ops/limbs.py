@@ -260,10 +260,11 @@ def mont_redc(t_wide, p_limbs, n_prime_limbs):
     m = mul_low(t_lo, n_prime_limbs, L)
     mn = mul_wide(m, p_limbs)  # [..., 2L]
     # t + m*n: low half becomes zero; compute full sum with carries
-    total = jnp.concatenate(
-        [t_wide, jnp.zeros(t_wide.shape[:-1] + (1,), jnp.uint32)], axis=-1
+    # (padded add instead of scatter-add: Mosaic has no scatter lowering)
+    pad1 = jnp.zeros(t_wide.shape[:-1] + (1,), jnp.uint32)
+    total = jnp.concatenate([t_wide, pad1], axis=-1) + jnp.concatenate(
+        [mn, pad1], axis=-1
     )
-    total = total.at[..., : 2 * L].add(mn)
     total = _carry(total)
     hi = total[..., L : 2 * L + 1]
     top = hi[..., L:]  # the (L+1)-th limb (carry bit)
