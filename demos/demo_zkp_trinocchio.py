@@ -24,7 +24,14 @@ from verifiable_mpc_tpu.mpc.runtime import mpc, run_multi
 from verifiable_mpc_tpu.mpc import shamir
 
 
-async def main(verbose=True):
+async def main(verbose=True, zk=True):
+    """Multi-party SNARK; with zk=True the proof is zero-knowledge:
+    the parties jointly sample shared blinding deltas (no party learns
+    them), apply the Trinocchio h-polynomial correction on shares, and the
+    per-party delta share values blind the recombined proof elements —
+    completing the reference's TODO (demo_zkp_trinocchio.py:75)."""
+    import types
+
     await mpc.start()
     m = len(mpc.parties)
     trusted_party_id = 0
@@ -67,10 +74,28 @@ def qeval(x, y):
     p = pynocchio.compute_p_poly(qap, c)
     h, r = p / qap.t
 
+    deltas_party = None
+    if zk:
+        deltas_sec = types.SimpleNamespace(
+            v=mpc._random(secfld), w=mpc._random(secfld), y=mpc._random(secfld)
+        )
+        # h-polynomial ZK correction on shares (secure multiplications)
+        h = h + pynocchio.compute_h_zk_terms(qap, c, deltas_sec)
+        dv, dw, dy = await mpc.gather(
+            deltas_sec.v, deltas_sec.w, deltas_sec.y
+        )
+        # per-party delta share values; recombining the blinded proof shares
+        # in the exponent yields the delta-blinded proof
+        deltas_party = types.SimpleNamespace(
+            v=int(dv.value), w=int(dw.value), y=int(dy.value)
+        )
+
     c_shares = await mpc.gather(c)
     h_coeffs_shares = await mpc.gather(h.coeffs)
     h_shares = qc.Poly(h_coeffs_shares)
-    proof_input = pynocchio.compute_proof(qap, c_shares, h_shares, evalkey)
+    proof_input = pynocchio.compute_proof(
+        qap, c_shares, h_shares, evalkey, deltas_party
+    )
     if verbose:
         print("Proof computed.")
 

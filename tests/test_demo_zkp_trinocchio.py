@@ -23,3 +23,14 @@ def test_trinocchio_3party():
     assert len(results) == 3
     for verifications in results:
         assert all(verifications.values()), verifications
+
+
+def test_trinocchio_non_zk_mode():
+    verifications = mpc.run(demo.main(verbose=False, zk=False))
+    assert all(verifications.values()), verifications
+
+
+def test_trinocchio_zk_3party():
+    results = run_multi(lambda: demo.main(verbose=False, zk=True), 3)
+    for verifications in results:
+        assert all(verifications.values()), verifications
