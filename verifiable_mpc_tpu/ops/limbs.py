@@ -121,16 +121,20 @@ def _mul_cols_shift(a, b, out_cols):
     lo = prod & MASK
     hi = prod >> LIMB_BITS
     def shifted(row_vals, offset):
-        # Mosaic rejects zero-sized vector segments, so only emit nonempty ones
+        # pad right then roll: a single aligned concatenate + static roll is
+        # Mosaic-lowerable, unlike per-offset 1-wide concat segments
         width = row_vals.shape[-1]
-        segs = []
-        if offset > 0:
-            segs.append(jnp.zeros(batch + (offset,), jnp.uint32))
-        segs.append(row_vals)
-        tail = out_cols - offset - width
+        tail = out_cols - width
         if tail > 0:
-            segs.append(jnp.zeros(batch + (tail,), jnp.uint32))
-        return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-1)
+            base = jnp.concatenate(
+                [row_vals, jnp.zeros(batch + (tail,), jnp.uint32)], axis=-1
+            )
+        else:
+            base = row_vals[..., :out_cols]
+        if offset == 0:
+            return base
+        # offset + width <= out_cols always holds here, so no wrap-around
+        return jnp.roll(base, offset, axis=-1)
 
     cols = jnp.zeros(batch + (out_cols,), dtype=jnp.uint32)
     for i in range(min(L, out_cols)):
