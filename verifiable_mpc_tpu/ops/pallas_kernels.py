@@ -6,9 +6,13 @@ addition (all Montgomery multiplies, carries and selects) into one Pallas
 program over VMEM-resident [BLOCK, 16] limb tiles — the HBM-bandwidth
 optimization SURVEY.md §7 calls for on the MSM inner loop.
 
-Runs compiled on TPU and in interpret mode on CPU (tests).  The kernel body
-reuses the exact jnp limb arithmetic from :mod:`limbs`, so there is a single
-source of truth for the field math.
+Runs in interpret mode on CPU (tests) and is the integration point for the
+compiled Mosaic path.  Status: the current [batch, 16]-limb layout trips a
+Mosaic vector-concatenate layout bug on this jaxlib ("tpu.concatenate" with
+offset vpad layouts, seen on v5e) — compiled-mode requires the limb-major
+layout redesign tracked in docs/ROADMAP.md.  The kernel body reuses the
+exact jnp limb arithmetic from :mod:`limbs` (under `limbs.shift_accum()`),
+so there is a single source of truth for the field math.
 """
 
 from __future__ import annotations
