@@ -45,9 +45,9 @@ def _sharded_msm_kernel(n: int, chunk: int, mesh: Mesh, axis: str):
     assert n % ndev == 0 and (n // ndev) % chunk == 0
     local_n = n // ndev
 
-    def local_fn(points, bits):
-        # points: 4 x [local_n, L]; bits: [NBITS, local_n]
-        part = msm_mod._msm_body(points, bits, local_n, chunk)
+    def local_fn(points, digits):
+        # points: 4 x [local_n, L]; digits: [NWINDOWS, local_n]
+        part = msm_mod._msm_body(points, digits, local_n, chunk)
         gathered = tuple(jax.lax.all_gather(a, axis) for a in part)
         return _tree_reduce_points(gathered, ndev)
 
@@ -74,8 +74,8 @@ def sharded_msm(points, scalars, mesh=None, chunk=None, axis="shard") -> Edwards
         scalars = list(scalars) + [0] * pad
     n += pad
     dev_pts = ced.encode_points(points)
-    bits = jnp.asarray(msm_mod._scalar_bits(scalars))
-    out = _sharded_msm_kernel(n, chunk, mesh, axis)(dev_pts, bits)
+    digits = jnp.asarray(msm_mod._scalar_digits(scalars))
+    out = _sharded_msm_kernel(n, chunk, mesh, axis)(dev_pts, digits)
     return ced.decode_point(out)
 
 
