@@ -70,37 +70,43 @@ def _msm_body(points, digits, n: int, chunk: int):
     assert n % chunk == 0
     acc = ced.identity((NWINDOWS, chunk))
 
+    # Precompute k*P (k = 0..15) for every point with ONE top-level scan —
+    # nesting the table scan inside the chunk scan multiplies XLA compile
+    # time by an order of magnitude.  Memory: 16 multiples, ~4 KB/point.
+    def table_step(carry, _):
+        nxt = ced.add(carry, points)
+        return nxt, nxt
+
+    _, multiples = jax.lax.scan(
+        table_step, ced.identity((n,)), None, length=15
+    )  # 4 x [15, n, L] = 1P..15P
+    table = tuple(
+        jnp.concatenate([ident0[None], m], axis=0)
+        for ident0, m in zip(ced.identity((n,)), multiples)
+    )  # 4 x [16, n, L]
+
     def chunk_step(acc, inputs):
-        pts_c, digs_c = inputs  # 4 x [chunk, L]; [NWINDOWS, chunk]
-
-        def table_step(carry, _):
-            nxt = ced.add(carry, pts_c)
-            return nxt, nxt
-
-        _, multiples = jax.lax.scan(
-            table_step, ced.identity((chunk,)), None, length=15
-        )  # 4 x [15, chunk, L] = 1P..15P
-        table = tuple(
-            jnp.concatenate([ident0[None], m], axis=0)
-            for ident0, m in zip(ced.identity((chunk,)), multiples)
-        )  # 4 x [16, chunk, L]
-
-        # select each window's multiple: out[w, c] = table[digit[w, c], c],
-        # realized as a 16-way where-chain (compile-light; gathers under
-        # scan+vmap lower to pathologically slow scatter/gather HLO)
-        sel = tuple(jnp.broadcast_to(t[0][None], (NWINDOWS,) + t[0].shape) for t in table)
+        tab_c, digs_c = inputs  # 4 x [16, chunk, L]; [NWINDOWS, chunk]
+        # select each window's multiple: out[w, c] = tab_c[digit[w, c], c]
+        # via a 16-way where-chain (gathers under scan lower poorly)
+        sel = tuple(
+            jnp.broadcast_to(t[0][None], (NWINDOWS,) + t[0].shape) for t in tab_c
+        )
         for k in range(1, 16):
             mask = (digs_c == k)[..., None]
             sel = tuple(
-                jnp.where(mask, t[k][None], s) for t, s in zip(table, sel)
+                jnp.where(mask, t[k][None], s) for t, s in zip(tab_c, sel)
             )
         return ced.add(acc, sel), None
 
-    pts_chunks = tuple(a.reshape(n // chunk, chunk, a.shape[-1]) for a in points)
+    tab_chunks = tuple(
+        jnp.moveaxis(t.reshape(16, n // chunk, chunk, t.shape[-1]), 1, 0)
+        for t in table
+    )  # 4 x [n//chunk, 16, chunk, L]
     dig_chunks = jnp.moveaxis(
         digits.reshape(NWINDOWS, n // chunk, chunk), 1, 0
     )  # [n//chunk, NWINDOWS, chunk]
-    acc, _ = jax.lax.scan(chunk_step, acc, (pts_chunks, dig_chunks))
+    acc, _ = jax.lax.scan(chunk_step, acc, (tab_chunks, dig_chunks))
 
     # reduce over the chunk lane (single-adder butterfly reduction)
     acc = ced.reduce_lanes(acc, axis=1)  # [NWINDOWS, L] per coord
@@ -121,17 +127,26 @@ def _msm_kernel(n: int, chunk: int):
     return jax.jit(lambda points, digits: _msm_body(points, digits, n, chunk))
 
 
+def _pow2_pad(n: int, chunk: int) -> int:
+    """Pad batch sizes to powers of two so every protocol-level MSM size
+    (commitments, per-round A/B, Pinocchio sums) lands on one of ~10 cached
+    kernels instead of compiling per exact size."""
+    target = max(chunk, 1 << (n - 1).bit_length())
+    return target
+
+
 def msm(points, scalars, chunk=DEFAULT_CHUNK) -> EdwardsPoint:
     """prod points[i] ** scalars[i] on TPU."""
     n = len(points)
     assert n == len(scalars)
-    pad = (-n) % chunk
+    target = _pow2_pad(n, chunk)
+    pad = target - n
     if pad:
         points = list(points) + [EdwardsPoint.identity] * pad
         scalars = list(scalars) + [0] * pad
     dev_pts = ced.encode_points(points)
     digits = jnp.asarray(_scalar_digits(scalars))
-    out = _msm_kernel(n + pad, min(chunk, n + pad))(dev_pts, digits)
+    out = _msm_kernel(target, min(chunk, target))(dev_pts, digits)
     return ced.decode_point(out)
 
 
@@ -184,6 +199,8 @@ def _batch_exp_kernel(n: int):
 def batch_exp(base: EdwardsPoint, exponents) -> list:
     """[base ** e for e in exponents] on TPU (fixed-base, shared powers)."""
     n = len(exponents)
+    target = _pow2_pad(n, 1)
+    exponents = list(exponents) + [0] * (target - n)
     powers = []
     acc = base
     for _ in range(NBITS):
@@ -192,8 +209,8 @@ def batch_exp(base: EdwardsPoint, exponents) -> list:
     powers = powers[::-1]  # MSB order to match _scalar_bits
     dev_powers = ced.encode_points(powers)
     bits = jnp.asarray(_scalar_bits(exponents))
-    out = _batch_exp_kernel(n)(dev_powers, bits)
-    return ced.decode_points(out)
+    out = _batch_exp_kernel(target)(dev_powers, bits)
+    return ced.decode_points(out)[:n]
 
 
 def register(min_batch: int = 512):
