@@ -23,9 +23,9 @@ def ctx():
     global CTX
     if CTX is None:
         CTX = lb.mont_ctx(ED_P)
-        CTX.two_d_mont = np.asarray(
-            CTX.to_mont(jnp.asarray(lb.int_to_limbs(2 * D % ED_P)))
-        )
+        # host-side Montgomery encoding: device ops here would leak tracers
+        # if ctx() is first touched inside a jit trace
+        CTX.two_d_mont = lb.int_to_limbs(2 * D * CTX.R % ED_P)
     return CTX
 
 

@@ -213,9 +213,11 @@ def batch_exp(base: EdwardsPoint, exponents) -> list:
     return ced.decode_points(out)[:n]
 
 
-def register(min_batch: int = 512):
+def register(min_batch: int = 512, chunk: int = DEFAULT_CHUNK):
     """Install the TPU kernels as the dispatch backends for Ed25519."""
-    dispatch.register_msm_backend(EdwardsPoint, msm, min_batch)
+    dispatch.register_msm_backend(
+        EdwardsPoint, lambda pts, sc: msm(pts, sc, chunk=chunk), min_batch
+    )
     dispatch.register_fold_backend(EdwardsPoint, fold, min_batch)
     dispatch.register_batch_exp_backend(
         EdwardsPoint, lambda base, exps: batch_exp(base, exps), min_batch
