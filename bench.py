@@ -57,22 +57,22 @@ def main():
 
     t0 = time.perf_counter()
     dev_pts = ced.encode_points(pts)
-    bits_host = msm_mod._scalar_bits(scalars)
+    digits_host = msm_mod._scalar_digits(scalars)
     print(f"encode: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
     import jax.numpy as jnp
 
-    bits = jnp.asarray(bits_host)
+    digits = jnp.asarray(digits_host)
     kern = msm_mod._msm_kernel(n, chunk)
     t0 = time.perf_counter()
-    out = kern(dev_pts, bits)
+    out = kern(dev_pts, digits)
     jax.block_until_ready(out)
     print(f"compile+first run: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = kern(dev_pts, bits)
+        out = kern(dev_pts, digits)
     jax.block_until_ready(out)
     t_kernel = (time.perf_counter() - t0) / reps
     tpu_rate = n / t_kernel
