@@ -69,11 +69,20 @@ def main():
     jax.block_until_ready(out)
     print(f"compile+first run: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
+    # distinct inputs per rep: the execution layer dedupes identical
+    # (executable, buffers) launches, which would fake a 0-second run
     reps = 3
-    for _ in range(reps):
-        out = kern(dev_pts, digits)
-    jax.block_until_ready(out)
+    variants = [
+        jnp.asarray(
+            msm_mod._scalar_digits([(s + i + 1) % ELL for s in scalars])
+        )
+        for i in range(reps)
+    ]
+    jax.block_until_ready(variants)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = kern(dev_pts, variants[i])
+        jax.block_until_ready(out)
     t_kernel = (time.perf_counter() - t0) / reps
     tpu_rate = n / t_kernel
     print(
