@@ -154,9 +154,12 @@ def _next_pow2(x: int) -> int:
     return 1 << max(1, (x - 1).bit_length())
 
 
-# below this transform size the host NTT wins (device path pays kernel
-# compile + transfer); above it the TPU butterflies dominate
-DEVICE_NTT_THRESHOLD = 1 << 14
+# below this transform size the host NTT wins: the device path pays
+# int<->limb conversion and (tunnel) transfer per call, which at 2^14..2^17
+# outweighs the butterfly speedup.  Keeping coefficient vectors
+# device-resident across the subproduct trees (docs/ROADMAP.md) is what
+# makes smaller thresholds pay off.
+DEVICE_NTT_THRESHOLD = 1 << 18
 
 
 def poly_mul_ints(a, b, use_device=None) -> list:
