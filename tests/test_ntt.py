@@ -44,6 +44,46 @@ def test_device_poly_mul_matches_schoolbook():
     assert got == schoolbook(a, b, p)
 
 
+def test_native_crt_ntt_matches_schoolbook():
+    from verifiable_mpc_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    p = BN_ORDER
+    for na, nb in [(1, 1), (7, 9), (64, 64), (100, 211)]:
+        a = [rng.randrange(p) for _ in range(na)]
+        b = [rng.randrange(p) for _ in range(nb)]
+        got = native.ntt_poly_mul_ints(a, b)
+        exp = [0] * (na + nb - 1)
+        for i, x in enumerate(a):
+            for j, y in enumerate(b):
+                exp[i + j] += x * y
+        assert got == exp
+    # bound enforcement: 556-bit coefficient products must be rejected
+    big = 1 << 280
+    with pytest.raises(AssertionError):
+        native.ntt_poly_mul_ints([big, big], [big, big])
+
+
+def test_poly_mul_ints_native_dispatch():
+    """poly_mul_ints routes sizes >= NATIVE_NTT_THRESHOLD to the native
+    backend and stays exact."""
+    from verifiable_mpc_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    p = BN_ORDER
+    n = ntt.NATIVE_NTT_THRESHOLD
+    a = [rng.randrange(p) for _ in range(n)]
+    b = [rng.randrange(p) for _ in range(n)]
+    got = ntt.poly_mul_ints(a, b)
+    exp = [0] * (2 * n - 1)
+    for i, x in enumerate(a):
+        for j, y in enumerate(b):
+            exp[i + j] += x * y
+    assert got == exp
+
+
 def test_backend_integration():
     from verifiable_mpc_tpu.tools import poly as qc
 

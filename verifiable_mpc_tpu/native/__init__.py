@@ -20,7 +20,11 @@ import subprocess
 import numpy as np
 
 _HERE = os.path.dirname(__file__)
-_SRCS = [os.path.join(_HERE, "ed25519.cc"), os.path.join(_HERE, "bn256.cc")]
+_SRCS = [
+    os.path.join(_HERE, "ed25519.cc"),
+    os.path.join(_HERE, "bn256.cc"),
+    os.path.join(_HERE, "ntt.cc"),
+]
 _SO = os.path.join(_HERE, "_vmpc_native.so")
 
 _lib = None
@@ -71,6 +75,13 @@ def load():
     lib.vmpc_bn_scalar_mul.argtypes = [u64p, u64p, u64p]
     lib.vmpc_bn2_msm.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
     lib.vmpc_bn2_batch_exp.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_ntt_poly_mul.argtypes = [
+        u64p,
+        ctypes.c_uint64,
+        u64p,
+        ctypes.c_uint64,
+        u64p,
+    ]
     _lib = lib
     return _lib
 
@@ -270,6 +281,47 @@ def bn2_batch_exp(base, exponents):
     out = np.zeros((len(exponents), 24), dtype=np.uint64)
     lib.vmpc_bn2_batch_exp(_u64p(b), _u64p(ex), len(exponents), _u64p(out))
     return _u64_to_bn2_pts(out)
+
+
+# ---------------------------------------------------------------------------
+# exact integer polynomial products (9-prime CRT NTT)
+# ---------------------------------------------------------------------------
+
+NTT_LIMBS = 9  # 9 x u64 = 576-bit transport; values must stay < ~2^558
+NTT_MAX_COEFF_BITS = 556
+
+
+def _ints_to_u64x9(xs) -> np.ndarray:
+    n = len(xs)
+    buf = bytearray(n * 72)
+    for i, x in enumerate(xs):
+        buf[i * 72 : (i + 1) * 72] = int(x).to_bytes(72, "little")
+    return np.frombuffer(bytes(buf), dtype=np.uint64).reshape(n, 9).copy()
+
+
+def _u64x9_to_ints(arr) -> list:
+    raw = np.ascontiguousarray(arr).tobytes()
+    return [
+        int.from_bytes(raw[i * 72 : (i + 1) * 72], "little")
+        for i in range(arr.shape[0])
+    ]
+
+
+def ntt_poly_mul_ints(a, b) -> list:
+    """Exact product of integer polynomials (coefficients < ~2^278 each so
+    the CRT bound holds for the protocol fields)."""
+    lib = load()
+    na, nb = len(a), len(b)
+    assert (
+        min(na, nb) * max(max(a, default=1), 1) * max(max(b, default=1), 1)
+    ).bit_length() <= NTT_MAX_COEFF_BITS, (
+        "coefficients too large for exact CRT recovery"
+    )
+    arr_a = _ints_to_u64x9(a)
+    arr_b = _ints_to_u64x9(b)
+    out = np.zeros((na + nb - 1, 9), dtype=np.uint64)
+    lib.vmpc_ntt_poly_mul(_u64p(arr_a), na, _u64p(arr_b), nb, _u64p(out))
+    return _u64x9_to_ints(out)
 
 
 def register(min_batch: int = 8):

@@ -162,13 +162,26 @@ def _next_pow2(x: int) -> int:
 DEVICE_NTT_THRESHOLD = 1 << 18
 
 
+# the native 9-prime CRT NTT wins from small sizes up (C++ with OpenMP);
+# below this the schoolbook in fastpoly already took over
+NATIVE_NTT_THRESHOLD = 64
+
+
 def poly_mul_ints(a, b, use_device=None) -> list:
-    """Exact integer polynomial product via NTT mod the big prime."""
+    """Exact integer polynomial product.
+
+    Backend order: native C++ CRT-NTT (if built) -> TPU big-prime NTT for
+    very large sizes -> host-Python big-prime NTT."""
     la, lb_ = len(a), len(b)
     out_len = la + lb_ - 1
     n = _next_pow2(out_len)
     if use_device is None:
         use_device = n >= DEVICE_NTT_THRESHOLD
+        if n >= NATIVE_NTT_THRESHOLD and not use_device:
+            from .. import native
+
+            if native.available():
+                return native.ntt_poly_mul_ints(a, b)[:out_len]
     P = ntt_prime()
     # exactness bound: every product coefficient < P
     assert (
