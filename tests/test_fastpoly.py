@@ -58,3 +58,20 @@ def test_interpolate_matches_naive_small_domain():
     fast = fp.interpolate(points, values, P)
     naive = fp._naive_interpolate(points, values, P)
     assert fp._trim(fast) == fp._trim(naive)
+
+
+def test_shift_evaluations_matches_horner():
+    # the fgh geometry: f sampled at 1..m+1, extended to 0 and m+2..2m
+    m = 150
+    coeffs = [rng.randrange(P) for _ in range(m + 1)]
+    vals = [fp._horner(coeffs, k, P) for k in range(1, m + 2)]
+    f0 = fp.shift_evaluations(vals, 1, 0, 1, P)
+    assert f0 == [fp._horner(coeffs, 0, P)]
+    hi = fp.shift_evaluations(vals, 1, m + 2, m - 1, P)
+    assert hi == [fp._horner(coeffs, t, P) for t in range(m + 2, 2 * m + 1)]
+
+
+def test_batch_inverse():
+    xs = [rng.randrange(1, P) for _ in range(37)]
+    invs = fp.batch_inverse(xs, P)
+    assert all(x * i % P == 1 for x, i in zip(xs, invs))

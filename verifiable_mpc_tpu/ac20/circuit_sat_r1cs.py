@@ -322,14 +322,15 @@ def calculate_fgh_evaluations(a, b, gf):
     r_b = rng.randrange(1, gf.order)
     f_vals = [int(gf(v)) % p for v in a] + [r_a]  # f(1..m+1)
     g_vals = [int(gf(v)) % p for v in b] + [r_b]
-    pts = list(range(1, m + 2))
-    targets = [0] + list(range(m + 2, 2 * m + 1))
-    f_coeffs = fastpoly.interpolate(pts, f_vals, p)
-    g_coeffs = fastpoly.interpolate(pts, g_vals, p)
-    f_ext = fastpoly.multipoint_eval(f_coeffs, targets, p)
-    g_ext = fastpoly.multipoint_eval(g_coeffs, targets, p)
-    f0, f_hi = f_ext[0], f_ext[1:]
-    g0, g_hi = g_ext[0], g_ext[1:]
+    # consecutive sample points -> shift-of-evaluations (one NTT convolution
+    # per target range) instead of interpolate + subproduct-tree multipoint
+    f0 = fastpoly.shift_evaluations(f_vals, 1, 0, 1, p)[0]
+    g0 = fastpoly.shift_evaluations(g_vals, 1, 0, 1, p)[0]
+    if m >= 2:
+        f_hi = fastpoly.shift_evaluations(f_vals, 1, m + 2, m - 1, p)
+        g_hi = fastpoly.shift_evaluations(g_vals, 1, m + 2, m - 1, p)
+    else:
+        f_hi, g_hi = [], []
     f_all = f_vals + f_hi  # f(1..2m)
     g_all = g_vals + g_hi
     h_evals = [gf(u * v) for u, v in zip(f_all, g_all)]

@@ -229,3 +229,70 @@ def _naive_interpolate(points, values, p):
         for j in range(n):
             out[j] = (out[j] + basis[j] * scale) % p
     return out
+
+
+def batch_inverse(xs, p):
+    """Montgomery's trick: n inverses for one pow() + 3n mulmods."""
+    n = len(xs)
+    prefix = [1] * (n + 1)
+    for i, x in enumerate(xs):
+        prefix[i + 1] = prefix[i] * x % p
+    inv_all = pow(prefix[n], -1, p)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % p
+        inv_all = inv_all * xs[i] % p
+    return out
+
+
+def shift_evaluations(vals, base_start, target_start, count, p):
+    """[f(target_start + i) for i in range(count)] from consecutive samples
+    ``vals`` = [f(base_start), ..., f(base_start + d)] of a degree-<=d poly.
+
+    One convolution (NTT) + factorial/batch-inverse scalings — O(M(d+count))
+    vs the O(d log^2 d) subproduct-tree route.  Closed-form Lagrange at
+    consecutive nodes: with s = target_start - base_start,
+
+        f(t_i) = W_i * sum_k  delta_k / (s + i - k),
+        delta_k = vals[k] / (k! (d-k)! (-1)^(d-k)),
+        W_i = prod_j (s + i - j).
+
+    Requires every target to be distinct from every base point as integers
+    (s + i - k != 0 mod p for the small-index window) — asserted.
+    """
+    d = len(vals) - 1
+    s = target_start - base_start
+    for i in (0, count - 1):
+        assert not (0 <= s + i <= d), "target coincides with a base point"
+
+    # delta_k = vals[k] * inv(k!) * inv((d-k)!) * (-1)^(d-k)
+    fact = [1] * (d + 1)
+    for k in range(1, d + 1):
+        fact[k] = fact[k - 1] * k % p
+    inv_fact_d = pow(fact[d], -1, p)
+    inv_fact = [1] * (d + 1)
+    inv_fact[d] = inv_fact_d
+    for k in range(d, 0, -1):
+        inv_fact[k - 1] = inv_fact[k] * k % p
+    delta = [0] * (d + 1)
+    for k in range(d + 1):
+        t = vals[k] * inv_fact[k] % p * inv_fact[d - k] % p
+        delta[k] = t if (d - k) % 2 == 0 else (p - t) % p
+
+    # G_j = 1 / (s + j - d) for j = 0..d+count-1
+    gs = [(s + j - d) % p for j in range(d + count)]
+    G = batch_inverse(gs, p)
+
+    conv = poly_mul(delta, G, p)  # conv[i + d] = sum_k delta_k / (s + i - k)
+
+    # W_i = prod_{j=0..d} (s + i - j), updated incrementally
+    out = [0] * count
+    w = 1
+    for j in range(d + 1):
+        w = w * ((s - j) % p) % p
+    num_inv = batch_inverse([(s + i - d) % p for i in range(count)], p)
+    for i in range(count):
+        out[i] = w * conv[i + d] % p
+        # W_{i+1} = W_i * (s + i + 1) / (s + i - d)
+        w = w * ((s + i + 1) % p) % p * num_inv[i] % p
+    return out
