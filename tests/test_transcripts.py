@@ -108,3 +108,64 @@ def test_compressed_transcript_deterministic():
     p2 = run()
     assert repr(p1) == repr(p2)
     assert set(p1.keys()) == {"t", "A", "A0", "B0", "A1", "B1", "z_prime"}
+
+
+def test_cross_backend_proof_verifies():
+    """A proof produced with the native backend must verify with the pure
+    Python backend and vice versa: every independently-recomputed hash input
+    (the folded generator vectors) is batch-normalized to canonical
+    coordinates before hashing."""
+    from verifiable_mpc_tpu import native
+    from verifiable_mpc_tpu.ops import dispatch
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    group = EllipticCurve("Ed25519")
+    gf = GF(group.order)
+
+    def setup():
+        x = [gf(v) for v in range(1, 16)]
+        g = [group.generator ** (i + 2) for i in range(15)]
+        gens = {"g": g, "h": group.generator, "k": group.generator ** 3}
+        P = pivot.vector_commitment(x, 13, g, gens["h"])
+        L = pivot.LinearForm(list(range(1, 16)))
+        return x, gens, P, L
+
+    saved = (
+        dict(dispatch._MSM_BACKENDS),
+        dict(dispatch._FOLD_BACKENDS),
+        dict(dispatch._BATCH_EXP_BACKENDS),
+    )
+
+    def clear():
+        dispatch._MSM_BACKENDS.clear()
+        dispatch._FOLD_BACKENDS.clear()
+        dispatch._BATCH_EXP_BACKENDS.clear()
+
+    try:
+        clear()
+        assert native.register(min_batch=4)
+        x, gens, P, L = setup()
+        with vrng.deterministic(99):
+            pf = cp_prove = compressed_pivot.protocol_5_prover(
+                gens, P, L, L(x), x, 13, gf
+            )
+        clear()
+        x2, gens2, P2, L2 = setup()
+        assert compressed_pivot.protocol_5_verifier(
+            gens2, P2, L2, L2(x2), pf, gf
+        )
+        with vrng.deterministic(99):
+            pf2 = compressed_pivot.protocol_5_prover(
+                gens2, P2, L2, L2(x2), x2, 13, gf
+            )
+        assert native.register(min_batch=4)
+        assert compressed_pivot.protocol_5_verifier(gens, P, L, L(x), pf2, gf)
+    finally:
+        clear()
+        dispatch._MSM_BACKENDS.update(saved[0])
+        dispatch._FOLD_BACKENDS.update(saved[1])
+        dispatch._BATCH_EXP_BACKENDS.update(saved[2])

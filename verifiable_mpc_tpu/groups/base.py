@@ -86,6 +86,19 @@ class FiniteGroupElement:
     def normalize(self):
         return self
 
+    @classmethod
+    def batch_normalize(cls, points):
+        """Canonical representatives for a list of elements.
+
+        Fiat-Shamir transcripts hash str() of group elements, so any vector
+        recomputed independently by prover and verifier (e.g. the folded
+        generators of Protocol 4) must be reduced to canonical coordinates —
+        otherwise different compute backends (pure Python / native C++ /
+        TPU) would yield different projective representatives and thus
+        different challenges.  Elliptic subclasses override this with one
+        batched inversion (Montgomery's trick)."""
+        return [p.normalize() for p in points]
+
     # Scalar-mul via `*` only on elliptic curves (Pinocchio style); on
     # multiplicative groups `*` is strictly the group operation.
     is_scalar_mul_by_star = False

@@ -136,6 +136,31 @@ class _WeierstrassJacobian(FiniteGroupElement):
         zinv2 = zinv * zinv
         return cls(self.x * zinv2, self.y * zinv2 * zinv, cls.coord_field(1), check=False)
 
+    @classmethod
+    def batch_normalize(cls, points):
+        # batched z-inversion (Montgomery's trick), field-generic so it
+        # covers both GFp (G1) and GFp2 (twist) coordinates
+        one = cls.coord_field(1)
+        n = len(points)
+        idx = [i for i, p in enumerate(points) if not cls._is_identity(p)]
+        prefix = [one] * (len(idx) + 1)
+        for j, i in enumerate(idx):
+            prefix[j + 1] = prefix[j] * points[i].z
+        inv = prefix[-1].reciprocal()
+        out = [cls.identity] * n
+        for j in range(len(idx) - 1, -1, -1):
+            i = idx[j]
+            zinv = prefix[j] * inv
+            inv = inv * points[i].z
+            zinv2 = zinv * zinv
+            out[i] = cls(
+                points[i].x * zinv2,
+                points[i].y * zinv2 * zinv,
+                one,
+                check=False,
+            )
+        return out
+
     def affine(self):
         n = self.normalize()
         return (n.x, n.y)

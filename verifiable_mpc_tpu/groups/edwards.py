@@ -96,6 +96,24 @@ class EdwardsPoint(FiniteGroupElement):
         y = self.y * zinv % P
         return type(self)(x, y, 1, x * y % P)
 
+    @classmethod
+    def batch_normalize(cls, points):
+        # one modular inverse for the whole vector (Montgomery's trick);
+        # z is never 0 on the complete Edwards addition law
+        n = len(points)
+        prefix = [1] * (n + 1)
+        for i, p in enumerate(points):
+            prefix[i + 1] = prefix[i] * p.z % P
+        inv = pow(prefix[n], -1, P)
+        out = [None] * n
+        for i in range(n - 1, -1, -1):
+            zinv = prefix[i] * inv % P
+            inv = inv * points[i].z % P
+            x = points[i].x * zinv % P
+            y = points[i].y * zinv % P
+            out[i] = cls(x, y, 1, x * y % P)
+        return out
+
     def affine(self):
         n = self.normalize()
         return (n.x, n.y)

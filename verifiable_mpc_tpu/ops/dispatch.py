@@ -67,12 +67,18 @@ def register_fold_backend(group_cls, fn, min_batch: int = _MIN_TPU_BATCH):
 
 def fold_generators(g_l, g_r, c: int):
     """[g_l[i]**c * g_r[i]] — the per-round generator fold of Protocol 4
-    (reference compressed_pivot.py:64)."""
+    (reference compressed_pivot.py:64).
+
+    The result is batch-normalized to canonical coordinates: the folded
+    vector feeds the Fiat-Shamir hash on both prover and verifier, so its
+    representation must not depend on which backend computed it."""
     cls = type(g_l[0])
     backend = _FOLD_BACKENDS.get(cls)
     if backend is not None and len(g_l) >= backend[1]:
-        return backend[0](g_l, g_r, c)
-    return [(g_l[i] ** c) * g_r[i] for i in range(len(g_l))]
+        out = backend[0](g_l, g_r, c)
+    else:
+        out = [(g_l[i] ** c) * g_r[i] for i in range(len(g_l))]
+    return cls.batch_normalize(out)
 
 
 _BATCH_EXP_BACKENDS = {}
