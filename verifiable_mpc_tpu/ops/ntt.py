@@ -176,12 +176,16 @@ def poly_mul_ints(a, b, use_device=None) -> list:
     out_len = la + lb_ - 1
     n = _next_pow2(out_len)
     if use_device is None:
-        use_device = n >= DEVICE_NTT_THRESHOLD
-        if n >= NATIVE_NTT_THRESHOLD and not use_device:
+        # the native C++ CRT NTT beats the device path at every size when a
+        # toolchain exists: the TPU engine pays int<->limb conversion plus
+        # (tunnel) transfer per call.  Device only on explicit request or as
+        # the large-size fallback without a native build.
+        if n >= NATIVE_NTT_THRESHOLD:
             from .. import native
 
             if native.available():
                 return native.ntt_poly_mul_ints(a, b)[:out_len]
+        use_device = n >= DEVICE_NTT_THRESHOLD
     P = ntt_prime()
     # exactness bound: every product coefficient < P
     assert (
