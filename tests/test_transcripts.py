@@ -19,17 +19,23 @@ from verifiable_mpc_tpu.groups import EllipticCurve, QuadraticResidues
 
 
 def test_fiat_shamir_hash_definition():
-    """SHA-256 over str(input_list), little-endian, mod order — the exact
-    rule of reference pivot.py:131-136."""
+    """SHA-256 over the canonical binary serialization, little-endian, mod
+    order (deliberate deviation from reference pivot.py:131-136 — see the
+    fiat_shamir_hash docstring)."""
+    from verifiable_mpc_tpu import serialization
+
     input_list = [1, "tag", [2, 3]]
     order = 10**9 + 7
-    expected = (
-        int.from_bytes(
-            hashlib.sha256(str(input_list).encode("utf-8")).digest(), "little"
-        )
-        % order
-    )
+    h = hashlib.sha256()
+    serialization.hash_into(h, input_list)
+    expected = int.from_bytes(h.digest(), "little") % order
     assert pivot.fiat_shamir_hash(input_list, order) == expected
+    # streaming must agree with the materialized encoding
+    import io
+
+    buf = io.BytesIO()
+    serialization._encode(buf, input_list)
+    assert hashlib.sha256(buf.getvalue()).digest() == h.digest()
 
 
 def test_serialization_formats():

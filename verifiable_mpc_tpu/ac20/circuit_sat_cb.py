@@ -100,12 +100,12 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
 
     input_list = [
         z_commitment,
-        str(circuit),
+        circuit,  # hashed structurally (serialization.py T_CIRCUIT)
         "First hash circuit satisfiability protocol",
     ]
-    logger_cs2_hin.debug(f"protocol_8_cb prover (1): input_list=\n{input_list}")
+    logger_cs2_hin.debug("protocol_8_cb prover (1): input_list=\n%s", input_list)
     c = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs2_hout.debug(f"After hash, hash=\n{c}")
+    logger_cs2_hout.debug("After hash, hash=\n%s", c)
 
     if f_poly is not None:  # evaluation-form path skips the redundant check
         y1 = f_poly.eval(c)
@@ -146,9 +146,9 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
         lin_forms,
         "Second hash circuit satisfiability protocol",
     ]
-    logger_cs2_hin.debug(f"protocol_8_cb prover (2): input_list=\n{input_list}")
+    logger_cs2_hin.debug("protocol_8_cb prover (2): input_list=\n%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs2_hout.debug(f"After hash, hash=\n{rho}")
+    logger_cs2_hout.debug("After hash, hash=\n%s", rho)
     L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
     proof["L"] = L
     return proof, z_commitment, L, z, gamma
@@ -168,12 +168,12 @@ def protocol_8_excl_pivot_verifier(proof, circuit, gf, use_koe=False):
     z_commitment = proof["z_commitment"]
     input_list = [
         z_commitment,
-        str(circuit),
+        circuit,  # hashed structurally (serialization.py T_CIRCUIT)
         "First hash circuit satisfiability protocol",
     ]
-    logger_cs2_hin.debug(f"protocol_8_cb verifier (1): input_list=\n{input_list}")
+    logger_cs2_hin.debug("protocol_8_cb verifier (1): input_list=\n%s", input_list)
     c = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs2_hout.debug(f"After hash, hash=\n{c}")
+    logger_cs2_hout.debug("After hash, hash=\n%s", c)
 
     linform_f = cb.calculate_fg_form(circuit, wire=0, challenge=c, gf=gf)
     linform_g = cb.calculate_fg_form(circuit, wire=1, challenge=c, gf=gf)
@@ -199,9 +199,9 @@ def protocol_8_excl_pivot_verifier(proof, circuit, gf, use_koe=False):
         lin_forms,
         "Second hash circuit satisfiability protocol",
     ]
-    logger_cs2_hin.debug(f"protocol_8_cb verifier (2): input_list=\n{input_list}")
+    logger_cs2_hin.debug("protocol_8_cb verifier (2): input_list=\n%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs2_hout.debug(f"After hash, hash=\n{rho}")
+    logger_cs2_hout.debug("After hash, hash=\n%s", rho)
     L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
 
     if not L == proof["L"]:

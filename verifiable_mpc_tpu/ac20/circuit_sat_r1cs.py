@@ -401,9 +401,9 @@ def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
         proof["z_commitment"] = z_commitment
 
     input_list = [z_commitment, code, "First hash circuit satisfiability protocol"]
-    logger_cs_hin.debug(f"protocol_8 prover (1): input_list={input_list}")
+    logger_cs_hin.debug("protocol_8 prover (1): input_list=%s", input_list)
     c = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs_hout.debug(f"After hash, hash=\n{c}")
+    logger_cs_hout.debug("After hash, hash=\n%s", c)
 
     if f_poly is not None:  # evaluation-form path skips the redundant check
         y1 = f_poly.eval(c)
@@ -451,9 +451,9 @@ def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
         lin_forms,
         "Second hash circuit satisfiability protocol",
     ]
-    logger_cs_hin.debug(f"protocol_8 prover (2): input_list={input_list}")
+    logger_cs_hin.debug("protocol_8 prover (2): input_list=%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs_hout.debug(f"After hash, hash=\n{rho}")
+    logger_cs_hout.debug("After hash, hash=\n%s", rho)
     L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
     proof["L"] = L
     return proof, z_commitment, L, z, gamma
@@ -483,9 +483,9 @@ def protocol_8_excl_pivot_verifier(proof, code, gf, use_koe=False):
     # (circuit_sat_r1cs.py:527-541 guards on "P" in proof, which is nested).
     z_commitment = proof["z_commitment"]
     input_list = [z_commitment, code, "First hash circuit satisfiability protocol"]
-    logger_cs_hin.debug(f"protocol_8 verifier (1): input_list={input_list}")
+    logger_cs_hin.debug("protocol_8 verifier (1): input_list=%s", input_list)
     c = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs_hout.debug(f"After hash, hash=\n{c}")
+    logger_cs_hout.debug("After hash, hash=\n%s", c)
 
     linform_f, linform_g, linform_h = create_fgh_linear_forms(
         r1cs, c, varnames, flatcode, mul_indices_of_flatcode, n, m, gf
@@ -513,9 +513,9 @@ def protocol_8_excl_pivot_verifier(proof, code, gf, use_koe=False):
         lin_forms,
         "Second hash circuit satisfiability protocol",
     ]
-    logger_cs_hin.debug(f"protocol_8 verifier (2): input_list={input_list}")
+    logger_cs_hin.debug("protocol_8 verifier (2): input_list=%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs_hout.debug(f"After hash, hash=\n{rho}")
+    logger_cs_hout.debug("After hash, hash=\n%s", rho)
     L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
 
     if not L == proof["L"]:

@@ -37,9 +37,9 @@ def _round_challenge(A, B, g_hat, k, Q, L_tilde, order):
         input_list = [A.normalize(), B.normalize(), g_hat, k, Q.normalize(), L_tilde]
     else:
         input_list = [A, B, g_hat, k, Q, L_tilde]
-    logger_cp_hin.debug(f"protocol_4 round: input_list=\n{input_list}")
+    logger_cp_hin.debug("protocol_4 round: input_list=\n%s", input_list)
     c = pivot.fiat_shamir_hash(input_list, order)
-    logger_cp_hout.debug(f"After hash, hash=\n{c}")
+    logger_cp_hout.debug("After hash, hash=\n%s", c)
     return c
 
 
@@ -105,8 +105,8 @@ def protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i=0):
             Q_check = pivot.vector_commitment(
                 z_prime, int(L_tilde(z_prime)), g_hat, k
             )
-            logger_cp.debug(f"Q_check= {Q_check}")
-            logger_cp.debug(f"Q_prime= {Q}")
+            logger_cp.debug("Q_check= %s", Q_check)
+            logger_cp.debug("Q_prime= %s", Q)
             return Q_check == Q
         round_i += 1
 
@@ -117,14 +117,14 @@ def _first_hash(t, A, generators, P, L, y, order):
         input_list = [t, A.normalize(), generators, P.normalize(), L, y]
     else:
         input_list = [t, A, generators, P, L, y]
-    logger_cp_hin.debug(f"protocol_5: input_list=\n{input_list}")
+    logger_cp_hin.debug("protocol_5: input_list=\n%s", input_list)
     c0 = pivot.fiat_shamir_hash(
         input_list + [0] + ["First hash of compressed pivot"], order
     )
     c1 = pivot.fiat_shamir_hash(
         input_list + [1] + ["First hash of compressed pivot"], order
     )
-    logger_cp_hout.debug(f"After hash, hash=\n{c0}, {c1}")
+    logger_cp_hout.debug("After hash, hash=\n%s, %s", c0, c1)
     return c0, c1
 
 

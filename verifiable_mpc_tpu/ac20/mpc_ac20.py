@@ -149,9 +149,9 @@ async def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i
             ]
         else:
             input_list = [A, B, g_hat, k, Q, L_tilde]
-        logger_cs_mpc_hin.debug(f"protocol_4_prover: input_list=\n{input_list}")
+        logger_cs_mpc_hin.debug("protocol_4_prover: input_list=\n%s", input_list)
         c = pivot.fiat_shamir_hash(input_list, order)
-        logger_cs_mpc_hout.debug(f"After hash, hash=\n{c}")
+        logger_cs_mpc_hout.debug("After hash, hash=\n%s", c)
 
         from ..ops.dispatch import fold_generators
 
@@ -205,14 +205,14 @@ async def protocol_5_prover(generators, P, L, y, x, gamma, gf):
         input_list = [t, A.normalize(), generators, P.normalize(), L, y]
     else:
         input_list = [t, A, generators, P, L, y]
-    logger_cs_mpc_hin.debug(f"protocol_5_prover: input_list=\n{input_list}")
+    logger_cs_mpc_hin.debug("protocol_5_prover: input_list=\n%s", input_list)
     c0 = pivot.fiat_shamir_hash(
         input_list + [0] + ["First hash of compressed pivot"], order
     )
     c1 = pivot.fiat_shamir_hash(
         input_list + [1] + ["First hash of compressed pivot"], order
     )
-    logger_cs_mpc_hout.debug(f"After hash, hash=\n{c0}, {c1}")
+    logger_cs_mpc_hout.debug("After hash, hash=\n%s, %s", c0, c1)
 
     z = [c0 * x_i + r[i] for i, x_i in enumerate(x)]
     phi = c0 * gamma + rho
@@ -287,9 +287,9 @@ async def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
         proof["z_commitment"] = z_commitment
 
     input_list = [z_commitment, code, "First hash circuit satisfiability protocol"]
-    logger_cs_mpc_hin.debug(f"protocol_8 mpc prover (1): input_list={input_list}")
+    logger_cs_mpc_hin.debug("protocol_8 mpc prover (1): input_list=%s", input_list)
     c_challenge = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs_mpc_hout.debug(f"After hash, hash=\n{c_challenge}")
+    logger_cs_mpc_hout.debug("After hash, hash=\n%s", c_challenge)
 
     linform_f, linform_g, linform_h = cs.create_fgh_linear_forms(
         r1cs, c_challenge, varnames, flatcode, mul_indices_of_flatcode, n, m, gf
@@ -336,9 +336,9 @@ async def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
         lin_forms,
         "Second hash circuit satisfiability protocol",
     ]
-    logger_cs_mpc_hin.debug(f"protocol_8 mpc prover (2): input_list={input_list}")
+    logger_cs_mpc_hin.debug("protocol_8 mpc prover (2): input_list=%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs_mpc_hout.debug(f"After hash, hash=\n{rho}")
+    logger_cs_mpc_hout.debug("After hash, hash=\n%s", rho)
     L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
     proof["L"] = L
     return proof, z_commitment, L, z, gamma
@@ -362,9 +362,9 @@ async def prove_linear_form_eval(g, h, P, L, y, x, gamma, gf):
         input_list = [t, A.normalize(), g, h, P.normalize(), L, y]
     else:
         input_list = [t, A, g, h, P, L, y]
-    logger_cs_mpc_hin.debug(f"prove_linear_form_eval: input_list={input_list}.")
+    logger_cs_mpc_hin.debug("prove_linear_form_eval: input_list=%s.", input_list)
     c = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs_mpc_hout.debug(f"After hash, hash=\n{c}")
+    logger_cs_mpc_hout.debug("After hash, hash=\n%s", c)
     z = [c * x_i + r[i] for i, x_i in enumerate(x)]
     phi = c * gamma + rho
 
@@ -375,7 +375,7 @@ async def prove_linear_form_eval(g, h, P, L, y, x, gamma, gf):
 
 async def circuit_sat_prover(generators, code, x, gf, pivot_choice=cs.PivotChoice.compressed):
     """Top-level MPC prover dispatch (reference :466-498)."""
-    logger_cs_mpc.debug(f"Enter circuit_sat_prover. pivot_choice={pivot_choice}")
+    logger_cs_mpc.debug("Enter circuit_sat_prover. pivot_choice=%s", pivot_choice)
     proof, z_commitment, L, z, gamma = await protocol_8_excl_pivot_prover(
         generators, code, x, gf
     )

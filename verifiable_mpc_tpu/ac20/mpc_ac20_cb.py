@@ -84,12 +84,12 @@ async def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False
 
     input_list = [
         z_commitment,
-        str(circuit),
+        circuit,  # hashed structurally, matching circuit_sat_cb's verifier
         "First hash circuit satisfiability protocol",
     ]
-    logger_cs_mpc_cb_hin.debug(f"protocol_8 mpc cb prover (1): input_list={input_list}")
+    logger_cs_mpc_cb_hin.debug("protocol_8 mpc cb prover (1): input_list=%s", input_list)
     c_challenge = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs_mpc_cb_hout.debug(f"After hash, hash=\n{c_challenge}")
+    logger_cs_mpc_cb_hout.debug("After hash, hash=\n%s", c_challenge)
 
     linform_f = cb.calculate_fg_form(circuit, wire=0, challenge=c_challenge, gf=gf)
     linform_g = cb.calculate_fg_form(circuit, wire=1, challenge=c_challenge, gf=gf)
@@ -129,9 +129,9 @@ async def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False
         lin_forms,
         "Second hash circuit satisfiability protocol",
     ]
-    logger_cs_mpc_cb_hin.debug(f"protocol_8 mpc cb prover (2): input_list={input_list}")
+    logger_cs_mpc_cb_hin.debug("protocol_8 mpc cb prover (2): input_list=%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
-    logger_cs_mpc_cb_hout.debug(f"After hash, hash=\n{rho}")
+    logger_cs_mpc_cb_hout.debug("After hash, hash=\n%s", rho)
     L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
     proof["L"] = L
     return proof, z_commitment, L, z, gamma
@@ -139,7 +139,7 @@ async def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False
 
 async def circuit_sat_prover(generators, circuit, x, gf, pivot_choice=cs.PivotChoice.compressed):
     """Top-level MPC prover dispatch (reference mpc_ac20_cb.py:157-189)."""
-    logger_cs_mpc_cb.debug(f"Enter circuit_sat_prover. pivot_choice={pivot_choice}")
+    logger_cs_mpc_cb.debug("Enter circuit_sat_prover. pivot_choice=%s", pivot_choice)
     proof, z_commitment, L, z, gamma = await protocol_8_excl_pivot_prover(
         generators, circuit, x, gf
     )

@@ -40,6 +40,7 @@ T_BN2 = 0x14
 T_GF2 = 0x15
 T_FORM = 0x20
 T_POLY = 0x21
+T_CIRCUIT = 0x22  # hash-only: structural circuit encoding (no decode)
 
 
 def _w_int(buf, value: int):
@@ -123,7 +124,82 @@ def _encode(buf, obj):
         buf.write(bytes([T_POLY]))
         _encode(buf, obj.coeffs)
     else:
-        raise TypeError(f"cannot serialize {type(obj)}")
+        from .ac20.circuit_builder import Circuit, CircuitVar
+
+        if isinstance(obj, Circuit):
+            # structural encoding: gate list in construction order, O(gates)
+            # — unlike print_circuit, which expands the DAG to a string and
+            # can be exponentially larger than the circuit
+            buf.write(bytes([T_CIRCUIT]))
+            buf.write(struct.pack(">I", len(obj.gates)))
+            for g in obj.gates:
+                _encode(buf, str(g.op))
+                _encode(
+                    buf,
+                    g.output.name
+                    if isinstance(g.output, CircuitVar)
+                    else g.output,
+                )
+                buf.write(struct.pack(">I", len(g.inputs)))
+                for i in g.inputs:
+                    _encode(buf, i.name if isinstance(i, CircuitVar) else i)
+        elif isinstance(obj, CircuitVar):
+            _encode(buf, obj.name)
+        else:
+            raise TypeError(f"cannot serialize {type(obj)}")
+
+
+class _HashSink:
+    """File-like adapter feeding a hashlib object."""
+
+    __slots__ = ("_update",)
+
+    def __init__(self, hasher):
+        self._update = hasher.update
+
+    def write(self, data):
+        self._update(data)
+
+
+def _hash_obj(buf, obj):
+    """Canonical encoding for Fiat-Shamir hashing.
+
+    Differs from :func:`_encode` (the round-trippable store format) by
+    erasing exactly the type distinctions the reference's str()-based
+    hashing erased — the protocols rely on them hashing identically:
+    * field elements hash as their signed int (str(gf(p-1)) == "-1"), so a
+      prover passing gf(5) and a verifier passing 5 agree;
+    * LinearForm and AffineForm hash as (coeffs, constant) without a
+      subclass flag (both repr as "{coeffs}, {constant}").
+    """
+    from .ac20.pivot import AffineForm
+
+    if isinstance(obj, FiniteFieldElement):
+        buf.write(bytes([T_INT]))
+        _w_int(buf, int(obj))
+    elif isinstance(obj, (list, tuple)):
+        buf.write(bytes([T_LIST if isinstance(obj, list) else T_TUPLE]))
+        buf.write(struct.pack(">I", len(obj)))
+        for item in obj:
+            _hash_obj(buf, item)
+    elif isinstance(obj, dict):
+        buf.write(bytes([T_DICT]))
+        buf.write(struct.pack(">I", len(obj)))
+        for k, v in obj.items():
+            _hash_obj(buf, k)
+            _hash_obj(buf, v)
+    elif isinstance(obj, AffineForm):
+        buf.write(bytes([T_FORM]))
+        _hash_obj(buf, obj.coeffs)
+        _hash_obj(buf, obj.constant)
+    else:
+        _encode(buf, obj)
+
+
+def hash_into(hasher, obj):
+    """Stream the canonical hash encoding of ``obj`` into a hashlib hasher
+    without materializing the byte string."""
+    _hash_obj(_HashSink(hasher), obj)
 
 
 def _decode(buf):
