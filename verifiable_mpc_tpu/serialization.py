@@ -43,10 +43,26 @@ T_POLY = 0x21
 T_CIRCUIT = 0x22  # hash-only: structural circuit encoding (no decode)
 
 
+_PROTO_TYPES = None
+
+
+def _proto_types():
+    """Protocol classes, resolved once (they import this module back, so a
+    module-level import would cycle; a per-call import costs import-machinery
+    overhead millions of times in the FS hash path)."""
+    global _PROTO_TYPES
+    if _PROTO_TYPES is None:
+        from .ac20.circuit_builder import Circuit, CircuitVar
+        from .ac20.pivot import AffineForm, LinearForm
+        from .tools.poly import Poly
+
+        _PROTO_TYPES = (AffineForm, LinearForm, Poly, Circuit, CircuitVar)
+    return _PROTO_TYPES
+
+
 def _w_int(buf, value: int):
     raw = value.to_bytes((value.bit_length() + 8) // 8 or 1, "big", signed=True)
-    buf.write(struct.pack(">I", len(raw)))
-    buf.write(raw)
+    buf.write(struct.pack(">I", len(raw)) + raw)
 
 
 def _r_int(buf) -> int:
@@ -55,8 +71,7 @@ def _r_int(buf) -> int:
 
 
 def _encode(buf, obj):
-    from .ac20.pivot import AffineForm, LinearForm
-    from .tools.poly import Poly
+    AffineForm, LinearForm, Poly, Circuit, CircuitVar = _proto_types()
 
     if obj is None:
         buf.write(bytes([T_NONE]))
@@ -124,8 +139,6 @@ def _encode(buf, obj):
         buf.write(bytes([T_POLY]))
         _encode(buf, obj.coeffs)
     else:
-        from .ac20.circuit_builder import Circuit, CircuitVar
-
         if isinstance(obj, Circuit):
             # structural encoding: gate list in construction order, O(gates)
             # — unlike print_circuit, which expands the DAG to a string and
@@ -150,15 +163,26 @@ def _encode(buf, obj):
 
 
 class _HashSink:
-    """File-like adapter feeding a hashlib object."""
+    """File-like adapter feeding a hashlib object, buffered: the encoder
+    emits millions of small writes per transcript."""
 
-    __slots__ = ("_update",)
+    __slots__ = ("_update", "_buf")
 
     def __init__(self, hasher):
         self._update = hasher.update
+        self._buf = bytearray()
 
     def write(self, data):
-        self._update(data)
+        buf = self._buf
+        buf += data
+        if len(buf) >= 1 << 16:
+            self._update(buf)
+            self._buf = bytearray()
+
+    def flush(self):
+        if self._buf:
+            self._update(self._buf)
+            self._buf = bytearray()
 
 
 def _hash_obj(buf, obj):
@@ -172,7 +196,7 @@ def _hash_obj(buf, obj):
     * LinearForm and AffineForm hash as (coeffs, constant) without a
       subclass flag (both repr as "{coeffs}, {constant}").
     """
-    from .ac20.pivot import AffineForm
+    AffineForm = _proto_types()[0]
 
     if isinstance(obj, FiniteFieldElement):
         buf.write(bytes([T_INT]))
@@ -199,7 +223,9 @@ def _hash_obj(buf, obj):
 def hash_into(hasher, obj):
     """Stream the canonical hash encoding of ``obj`` into a hashlib hasher
     without materializing the byte string."""
-    _hash_obj(_HashSink(hasher), obj)
+    sink = _HashSink(hasher)
+    _hash_obj(sink, obj)
+    sink.flush()
 
 
 def _decode(buf):
