@@ -18,11 +18,9 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    import jax
+    from verifiable_mpc_tpu import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_vmpc_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    enable_compile_cache()
 
 
 def main():

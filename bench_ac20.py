@@ -48,6 +48,7 @@ def main():
     args = parser.parse_args()
 
     if args.tpu:
+        verifiable_mpc_tpu.enable_compile_cache()
         verifiable_mpc_tpu.enable_tpu()
         backend = "tpu"
     elif not args.pure_python and verifiable_mpc_tpu.enable_native():

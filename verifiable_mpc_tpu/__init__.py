@@ -18,15 +18,34 @@ from . import fields
 from . import groups
 
 
-def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256):
+def enable_compile_cache(path: str = "/root/.cache/jax_vmpc_tpu"):
+    """Persistent XLA/Mosaic compile cache — first compile of each kernel
+    shape costs 60-100 s on the TPU tunnel; reruns then load from disk."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
+               fused: bool = True):
     """Install the TPU kernel backends (MSM / generator fold / batch-exp over
     Ed25519, NTT polynomial products) behind the host protocol layer.
+
+    `fused=True` uses the fused limb-major Pallas MSM/fold kernels
+    (ops/msm_pallas.py); the plain-XLA kernels (ops/msm.py) remain for
+    batch-exp and as the `fused=False` fallback.
 
     Imports jax lazily; host-only deployments never pay for it.
     """
     from .ops import msm, ntt
 
     msm.register(min_msm_batch)
+    if fused:
+        from .ops import msm_pallas
+
+        msm_pallas.register(min_msm_batch)  # overrides msm/fold backends
     ntt.register(min_poly_len)
 
 

@@ -1,0 +1,212 @@
+"""Limb-major fixed-limb big-integer arithmetic (Pallas-lowerable).
+
+The batch-major layout of :mod:`limbs` ([..., 16] with the limb index on the
+minor axis) trips Mosaic's vector layout rules inside Pallas kernels: every
+limb shift becomes a minor-dim concatenate/roll (the documented blocker in
+ops/pallas_kernels.py).  This module stores the SAME 16x16-bit representation
+transposed — shape [L, *batch] with the limb index on the LEADING axis — so
+
+* limb shifts are static pads on axis 0 (sublane copies, cleanly lowerable),
+* every carry/borrow step operates on a full [*batch] tile (batch on
+  sublanes x lanes when batch is >= 2-D),
+* modulus constants are Python int scalars embedded as immediates (nothing
+  captured, no constant tensors — the other Mosaic constraint).
+
+Design note on trace size vs runtime: a fully unrolled row-list formulation
+is ~1.3x cheaper at runtime but traces ~10x more primitives (Mosaic compile
+minutes -> hours per shape).  This module therefore works on whole [L,*B]
+tensors with ONE padded accumulate per schoolbook column group, pairing each
+high half with the next low half first so the pad waste stays small.
+
+Values are u32 tensors with each row < 2^16 (canonical) unless noted.  All
+functions broadcast over arbitrary trailing batch dims and contain no
+data-dependent control flow, so they can be used both in plain XLA code and
+inside Pallas kernel bodies.  Oracle-tested against :mod:`limbs` /
+Python bigints (tests/test_msm_pallas.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LIMB_BITS = 16
+LIMBS = 16
+MASK = (1 << LIMB_BITS) - 1
+
+
+def int_to_scalar_limbs(x: int, limbs: int = LIMBS) -> tuple:
+    """Python int -> tuple of Python-int limbs (compile-time constants)."""
+    out = []
+    for _ in range(limbs):
+        out.append(x & MASK)
+        x >>= LIMB_BITS
+    assert x == 0, "value too large for limb count"
+    return tuple(out)
+
+
+def _shift(x, k: int, total: int):
+    """Place rows of x starting at row k of a [total, *batch] zero tensor."""
+    r = x.shape[0]
+    assert k + r <= total
+    pad = [(k, total - r - k)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def carry(cols, out_rows: int):
+    """Sequential carry propagation: cols [K, *B] (entries < 2^32) ->
+    canonical [out_rows, *B] (each row < 2^16).  Rows beyond K are carry
+    overflow; rows beyond out_rows are dropped (mod 2^(16*out_rows))."""
+    k_in = cols.shape[0]
+    out = []
+    c = jnp.zeros(cols.shape[1:], jnp.uint32)
+    for k in range(out_rows):
+        v = (cols[k] + c) if k < k_in else c
+        out.append(v & MASK)
+        c = v >> LIMB_BITS
+    return jnp.stack(out, axis=0)
+
+
+def _mul_cols(a, b_rows, total: int):
+    """Column accumulation of a [L,*B] times one factor per iteration.
+
+    b_rows yields (j, bj) pairs where bj is a [*B] row or a u32 scalar.
+    Each iteration pairs the high halves of step j with the low halves of
+    step j+1 (both live at row offset j+1), so only ONE padded accumulate
+    of the [total,*B] running sum happens per j — the pad waste stays
+    ~L/(2*total) instead of 2x."""
+    L = a.shape[0]
+    cols = jnp.zeros((total,) + a.shape[1:], jnp.uint32)
+    pending = None  # high halves of the previous j, shifted to offset j+1
+    pend_j = 0
+    for j, bj in b_rows:
+        prod = a * bj  # exact: both operands < 2^16
+        lo = prod & MASK
+        hi = prod >> LIMB_BITS
+        if pending is not None and pend_j == j:
+            # hi_{j-1} sits at the same offset as lo_j: fuse (full-width add)
+            lo = lo + pending  # rows < 2^17, still exact in u32
+            pending = None
+        elif pending is not None:
+            cols = cols + _shift(pending[: total - pend_j], pend_j, total)
+            pending = None
+        cols = cols + _shift(lo[: total - j], j, total)
+        if j + 1 < total:
+            pending = hi
+            pend_j = j + 1
+    if pending is not None:
+        cols = cols + _shift(pending[: total - pend_j], pend_j, total)
+    return cols
+
+
+def mul_wide(a, b):
+    """[L,*B] x [L,*B] -> [2L,*B] full product, canonical limbs.
+
+    Column sums stay < (2L+1) * 2^16 < 2^22, exact in u32."""
+    L = a.shape[0]
+    cols = _mul_cols(a, ((j, b[j]) for j in range(L)), 2 * L + 1)
+    return carry(cols, 2 * L)
+
+
+def mul_wide_const(a, c_ints, out_rows: int | None = None):
+    """[L,*B] times compile-time-constant limbs -> [out_rows,*B] canonical.
+
+    Truncates columns >= out_rows (use out_rows=L for a mul-low)."""
+    L = a.shape[0]
+    if out_rows is None:
+        out_rows = L + len(c_ints)
+    total = out_rows + 1
+    pairs = (
+        (j, jnp.uint32(cj))
+        for j, cj in enumerate(c_ints)
+        if cj != 0 and j < total
+    )
+    cols = _mul_cols(a, pairs, total)
+    return carry(cols, out_rows)
+
+
+def _borrow_sub_const(a, c_ints):
+    """a - const -> (diff [L,*B], borrow [*B]); rows of a must be canonical."""
+    L = a.shape[0]
+    out = []
+    borrow = jnp.zeros(a.shape[1:], jnp.uint32)
+    for k in range(L):
+        ck = c_ints[k] if k < len(c_ints) else 0
+        v = a[k] + jnp.uint32((1 << LIMB_BITS) - ck) - borrow
+        out.append(v & MASK)
+        borrow = 1 - (v >> LIMB_BITS)
+    return jnp.stack(out, axis=0), borrow
+
+
+def _borrow_sub(a, b):
+    L = a.shape[0]
+    out = []
+    borrow = jnp.zeros(a.shape[1:], jnp.uint32)
+    for k in range(L):
+        v = a[k] + jnp.uint32(1 << LIMB_BITS) - b[k] - borrow
+        out.append(v & MASK)
+        borrow = 1 - (v >> LIMB_BITS)
+    return jnp.stack(out, axis=0), borrow
+
+
+def add_mod(a, b, p_ints):
+    """(a + b) mod p for canonical a, b < p."""
+    L = a.shape[0]
+    s = carry(a + b, L + 1)  # rows < 2^17 pre-carry
+    diff, borrow = _borrow_sub_const(s, p_ints)
+    return jnp.where((borrow == 0)[None], diff, s)[:L]
+
+
+def sub_mod(a, b, p_ints):
+    """(a - b) mod p for canonical a, b < p."""
+    L = a.shape[0]
+    diff, borrow = _borrow_sub(a, b)
+    # per-row scalar immediates (a non-splat constant tensor would have to be
+    # captured, which Mosaic kernel bodies disallow)
+    padd = jnp.stack(
+        [diff[k] + jnp.uint32(p_ints[k] if k < len(p_ints) else 0) for k in range(L)],
+        axis=0,
+    )
+    corrected = carry(padd, L)
+    return jnp.where((borrow != 0)[None], corrected, diff)
+
+
+def neg_mod(a, p_ints):
+    """(-a) mod p for canonical a < p (maps 0 -> 0)."""
+    return sub_mod(jnp.zeros_like(a), a, p_ints)
+
+
+def mont_redc(t, p_ints, nprime_ints):
+    """REDC: t [2L,*B] canonical -> t * R^-1 mod p, [L,*B], canonical < p."""
+    L = t.shape[0] // 2
+    m = mul_wide_const(t[:L], nprime_ints, L)  # low half only
+    mn = mul_wide_const(m, p_ints, 2 * L)
+    total = carry(t + mn, 2 * L + 1)  # rows < 2^17 pre-carry
+    hi = total[L:]  # [L+1, *B]; row L is the carry bit
+    res = hi[:L]
+    top = hi[L]
+    diff, borrow = _borrow_sub_const(res, p_ints)
+    need_sub = (top != 0) | (borrow == 0)
+    return jnp.where(need_sub[None], diff, res)
+
+
+def mont_mul(a, b, p_ints, nprime_ints):
+    return mont_redc(mul_wide(a, b), p_ints, nprime_ints)
+
+
+def mont_sq(a, p_ints, nprime_ints):
+    return mont_redc(mul_wide(a, a), p_ints, nprime_ints)
+
+
+def mont_mul_const(a, c_mont_ints, p_ints, nprime_ints):
+    """a * c (c a compile-time Montgomery-domain constant) mod p."""
+    L = a.shape[0]
+    return mont_redc(mul_wide_const(a, c_mont_ints, 2 * L), p_ints, nprime_ints)
+
+
+def const_rows(c_ints, batch_shape):
+    """Constant limbs -> [L, *batch] tensor built from per-row splats
+    (no non-splat constant tensor is materialized)."""
+    batch_shape = tuple(batch_shape)
+    return jnp.stack(
+        [jnp.full(batch_shape, c, jnp.uint32) for c in c_ints], axis=0
+    )
