@@ -48,7 +48,7 @@ def main():
 
     # ---- TPU kernel rate at bench size -----------------------------------
     n = 1 << 14
-    chunk = 256
+    chunk, sub = 128, 8  # fused Pallas kernel tile
     pts_small = [g ** int(e) for e in rng.randint(1, 1 << 62, 256)]
     pts = [pts_small[i % 256] for i in range(n)]  # distinct-enough bases
     scalars = [int.from_bytes(rng.bytes(31), "little") % ELL for i in range(n)]
@@ -60,8 +60,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from verifiable_mpc_tpu.ops import msm_pallas as mp
+
     digits = jnp.asarray(digits_host)
-    kern = msm_mod._msm_kernel(n, chunk)
+    kern = mp._build(n, chunk, sub, msm_mod.NWINDOWS, False)
     t0 = time.perf_counter()
     out = kern(dev_pts, digits)
     jax.block_until_ready(out)
@@ -92,7 +94,7 @@ def main():
     )
 
     # correctness spot check on a small prefix
-    small = msm_mod.msm(pts[:32], scalars[:32], chunk=32)
+    small = mp.msm(pts[:32], scalars[:32])  # pads to one 128-lane chunk
     expect = dispatch._host_multiexp(pts[:32], scalars[:32])
     assert small == expect, "MSM correctness check failed"
 
