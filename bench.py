@@ -47,6 +47,8 @@ def main():
     print(f"host python MSM: {host_rate:.1f} points/s", file=sys.stderr)
 
     # ---- TPU kernel rate at bench size -----------------------------------
+    from verifiable_mpc_tpu.ops import msm_pallas as mp
+
     n = 1 << 14
     chunk, sub = 128, 8  # fused Pallas kernel tile
     pts_small = [g ** int(e) for e in rng.randint(1, 1 << 62, 256)]
@@ -55,12 +57,10 @@ def main():
 
     t0 = time.perf_counter()
     dev_pts = ced.encode_points(pts)
-    digits_host = msm_mod._scalar_digits(scalars)
+    digits_host = mp._scalar_digits_signed(scalars)
     print(f"encode: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
     import jax.numpy as jnp
-
-    from verifiable_mpc_tpu.ops import msm_pallas as mp
 
     digits = jnp.asarray(digits_host)
     kern = mp._build(n, chunk, sub, msm_mod.NWINDOWS, False)
@@ -76,7 +76,7 @@ def main():
     reps = 3
     variants = [
         jnp.asarray(
-            msm_mod._scalar_digits([(s + i + 1) % ELL for s in scalars])
+            mp._scalar_digits_signed([(s + i + 1) % ELL for s in scalars])
         )
         for i in range(reps + 2)
     ]

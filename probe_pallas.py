@@ -41,7 +41,7 @@ def main():
     pts = [pts_small[i % 256] for i in range(n)]
     scalars = [int.from_bytes(rng.bytes(31), "little") % ELL for _ in range(n)]
     dev_pts = ced.encode_points(pts)
-    digits = jnp.asarray(msm_mod._scalar_digits(scalars))
+    digits = jnp.asarray(mp._scalar_digits_signed(scalars))
     kern = mp._build(n, 128, 8, 64, False)
     t0 = time.perf_counter()
     out = kern(dev_pts, digits)
@@ -51,7 +51,7 @@ def main():
     reps = 3
     variants = [
         jnp.asarray(
-            msm_mod._scalar_digits([(s + i + 1) % ELL for s in scalars])
+            mp._scalar_digits_signed([(s + i + 1) % ELL for s in scalars])
         )
         for i in range(reps + 2)
     ]

@@ -43,9 +43,10 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
 
     msm.register(min_msm_batch)
     if fused:
-        from .ops import msm_pallas
+        from .ops import bn_pallas, msm_pallas
 
         msm_pallas.register(min_msm_batch)  # overrides msm/fold backends
+        bn_pallas.register(min_msm_batch)  # BN256 G1 (Pinocchio MSMs)
     ntt.register(min_poly_len)
 
 

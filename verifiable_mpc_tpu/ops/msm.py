@@ -46,9 +46,9 @@ def _scalar_bits(scalars, nbits=NBITS) -> np.ndarray:
     return np.ascontiguousarray(bits.T).astype(np.uint32)
 
 
-def _scalar_digits(scalars) -> np.ndarray:
+def _scalar_digits(scalars, order: int = ELL) -> np.ndarray:
     """[N] ints -> [NWINDOWS, N] uint32 4-bit digits, most significant first."""
-    arr = lb.ints_to_limbs([s % ELL for s in scalars]).astype(np.uint16)  # [N, 16]
+    arr = lb.ints_to_limbs([s % order for s in scalars]).astype(np.uint16)  # [N, 16]
     n = arr.shape[0]
     digits = np.zeros((n, NWINDOWS), np.uint32)
     for limb in range(16):  # each 16-bit limb holds 4 digits (LSB order)

@@ -1,10 +1,10 @@
-"""Fused Pallas MSM kernel for Ed25519 (limb-major, VMEM-resident).
+"""Fused Pallas MSM kernels (limb-major, VMEM-resident), curve-generic.
 
 The XLA windowed MSM (ops/msm.py) materializes every Montgomery-multiply
 intermediate through HBM; at n=2^14 that is ~GBs of traffic per MSM and the
-kernel runs at ~1-2% of VPU peak.  This kernel fuses the whole per-chunk
-pipeline — multiple-table build, per-window digit select, and one complete
-Edwards addition into the window accumulators — into a single Pallas program
+kernel runs at ~1-2% of VPU peak.  These kernels fuse the whole per-chunk
+pipeline — multiple-table build, per-window digit select, and the complete
+group additions into the window accumulators — into a single Pallas program
 whose working set lives in VMEM.
 
 Layout (see ops/limbs_lm.py): limbs on the leading axis (sublanes), the
@@ -13,12 +13,21 @@ operates on a full [W, C] tile, and all limb shifts are static leading-axis
 pads — the combination that sidesteps the Mosaic minor-dim concatenate bug
 documented in ops/pallas_kernels.py.
 
-Algorithm = the same 4-bit windowed MSM as ops/msm.py (reference hot spots
-pivot.py:139-145, compressed_pivot.py:41-42): per 128-point chunk build the
-0..15 multiple table (14 adds), gather each of the 64 windows' multiples,
-and add them into persistent [L, W, C] accumulators (output revisiting across
-the sequential grid).  The cheap tail (cross-lane butterfly reduction and the
-64-step Horner) runs in plain XLA on the [W, C] partials.
+Algorithm = 4-bit SIGNED-window MSM (reference hot spots pivot.py:139-145,
+compressed_pivot.py:41-42): digits recoded to [-7, 8] so the per-chunk
+multiple table is 0..8 (7 adds instead of 14) and the digit-select chain
+halves; negation is a cheap coordinate sign flip.  Window multiples
+accumulate into persistent [L, W, C] VMEM scratch across the sequential
+grid, and the LAST grid step runs the whole tail in-kernel — butterfly lane
+reduction by rolls + the windowed Horner ladder — so a single [L, C] point
+leaves the kernel (the XLA tail's HBM round trips previously cost ~75% of
+wall time).
+
+The group law is pluggable: a curve adapter provides the coordinate count,
+complete add/double formulas over limb-major rows, identity, and the signed
+negation — Ed25519 (extended Edwards, this module) and BN254 G1
+(projective Renes-Costello-Batina, ops/bn_pallas.py) share all the MSM
+machinery.
 """
 
 from __future__ import annotations
@@ -31,14 +40,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..groups.edwards import EdwardsPoint
+from ..groups.edwards import ELL, EdwardsPoint
 from . import curve_ed as ced
 from . import dispatch
 from . import limbs_lm as lm
 from .msm import NWINDOWS, WINDOW, _pow2_pad, _scalar_digits
 
 L = 16  # limbs
-TABLE = 1 << WINDOW  # 16 multiples per point
+TABLE = 1 << WINDOW  # 16 multiples per point (unsigned; fold kernel)
+TABLE_S = (1 << (WINDOW - 1)) + 1  # 0..8: signed-digit MSM table
+
+
+def _scalar_digits_signed(scalars, order: int = ELL) -> np.ndarray:
+    """[N] ints -> [NWINDOWS, N] int32 signed 4-bit digits in [-7, 8],
+    most significant window first.
+
+    Standard signed-window recoding: d > 8 borrows 16 from the next window,
+    so the multiple table only needs 0..8 (halving both the table-build adds
+    and the digit-select chain vs the unsigned 0..15 table)."""
+    digs = _scalar_digits(scalars, order)[::-1].astype(np.int64)  # LSB first
+    carry = np.zeros(digs.shape[1], np.int64)
+    out = np.empty_like(digs)
+    for w in range(digs.shape[0]):
+        d = digs[w] + carry
+        carry = (d > 8).astype(np.int64)
+        out[w] = d - 16 * carry
+    assert not carry.any(), "scalar overflow in signed recoding"
+    return np.ascontiguousarray(out[::-1].astype(np.int32))  # MSB first
+
+
+# ---------------------------------------------------------------------------
+# Ed25519 curve adapter (extended coordinates, a=-1 unified formulas)
+# ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=None)
@@ -80,7 +113,7 @@ def ed_add_lm(p, q, k):
 
 def ed_dbl_lm(p, k):
     """Dedicated doubling (dbl-2008-hwcd, a=-1): 4 squares + 4 muls — the
-    hot op of the shared-scalar fold's Horner ladder (T1 is not needed)."""
+    hot op of the Horner ladders (T1 is not needed)."""
 
     def mul(a, b):
         return lm.mont_mul(a, b, k["p"], k["np"])
@@ -102,90 +135,175 @@ def ed_dbl_lm(p, k):
     return (mul(e, f), mul(g, h), mul(f, g), mul(e, h))
 
 
+class _EdAdapter:
+    """Curve plug for the generic MSM/fold machinery below."""
+
+    NC = 4  # X, Y, Z, T
+    group_cls = EdwardsPoint
+    order = ELL
+    name = "ed25519"
+
+    consts = staticmethod(_consts)
+    add = staticmethod(ed_add_lm)
+    dbl = staticmethod(ed_dbl_lm)
+
+    @staticmethod
+    def identity(batch_shape, k):
+        zero = lm.const_rows((0,) * L, batch_shape)
+        one = lm.const_rows(k["one"], batch_shape)
+        return (zero, one, one, zero)
+
+    @staticmethod
+    def neg_where(mask, p, k):
+        """-(x, y, z, t) = (-x, y, z, -t) where mask (broadcast [1,*B])."""
+        x, y, z, t = p
+        return (
+            jnp.where(mask, lm.neg_mod(x, k["p"]), x),
+            y,
+            z,
+            jnp.where(mask, lm.neg_mod(t, k["p"]), t),
+        )
+
+    # host <-> device
+    encode = staticmethod(ced.encode_points)
+
+    @staticmethod
+    def decode_one(dev):
+        return ced.decode_point(dev)
+
+    @staticmethod
+    def decode_many(dev):
+        return ced.decode_points(dev)
+
+
+ED = _EdAdapter()
+
+
 def _identity_lm(batch_shape, k):
-    zero = lm.const_rows((0,) * L, batch_shape)
-    one = lm.const_rows(k["one"], batch_shape)
-    return (zero, one, one, zero)
+    return ED.identity(batch_shape, k)
 
 
-def _msm_kernel(dig_ref, px, py, pz, pt, ox, oy, oz, ot,
-                tx_ref, ty_ref, tz_ref, tt_ref):
-    """One grid step processes SUB sub-chunks of C points.
+# ---------------------------------------------------------------------------
+# generic fused MSM kernel
+# ---------------------------------------------------------------------------
 
-    The multiple tables for all SUB*C points are built in ONE Edwards-add
-    sequence over [SUB, C]-shaped rows (full 8x128 VPU tiles; a [C]-shaped
-    row would waste 7/8 of the sublanes), then the window accumulation walks
-    the SUB sub-chunks with [W, C]-shaped rows."""
-    k = _consts()
-    tbl = (tx_ref, ty_ref, tz_ref, tt_ref)
-    point = (px[:], py[:], pz[:], pt[:])  # [L, SUB, C]
-    sub, chunk = px.shape[1], px.shape[2]
 
-    # --- multiple tables: tbl[m] = m * P, m = 0..15, for SUB*C points -----
-    for ref, arr in zip(tbl, _identity_lm((sub, chunk), k)):
-        ref[0] = arr
-    for ref, arr in zip(tbl, point):
-        ref[1] = arr
+def _make_chunk_kernel(curve):
+    nc = curve.NC
 
-    def tbody(m, _):
-        prev = tuple(ref[m - 1] for ref in tbl)
-        nxt = ed_add_lm(prev, point, k)
-        for ref, arr in zip(tbl, nxt):
-            ref[m] = arr
-        return 0
+    def kernel(*refs):
+        """Process SUB sub-chunks of C points into the window accumulators.
 
-    jax.lax.fori_loop(2, TABLE, tbody, 0)
+        FIXED-shape (no grid): the accumulators stream in and out as aliased
+        operands, so one Mosaic compile serves every MSM size — the caller
+        loops over chunks on the host.  (A grid-dependent kernel recompiles
+        200-450 s per distinct n: each pow2 size in a proof run paid it.)"""
+        dig_ref = refs[0]
+        pts_refs = refs[1 : 1 + nc]
+        accin = refs[1 + nc : 1 + 2 * nc]
+        accout = refs[1 + 2 * nc : 1 + 3 * nc]
+        tbl = refs[1 + 3 * nc : 1 + 4 * nc]
 
-    # --- window accumulation over the SUB sub-chunks ----------------------
-    outs = (ox, oy, oz, ot)
-    W = dig_ref.shape[0]
-    sel_shape = (L, W, chunk)
+        k = curve.consts()
+        point = tuple(r[:] for r in pts_refs)  # [L, SUB, C]
+        sub, chunk = point[0].shape[1], point[0].shape[2]
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for ref, arr in zip(outs, _identity_lm((W, chunk), k)):
+        # --- multiple tables: tbl[m] = m * P, m = 0..8, for SUB*C points --
+        for ref, arr in zip(tbl, curve.identity((sub, chunk), k)):
+            ref[0] = arr
+        for ref, arr in zip(tbl, point):
+            ref[1] = arr
+
+        def tbody(m, _):
+            prev = tuple(ref[m - 1] for ref in tbl)
+            nxt = curve.add(prev, point, k)
+            for ref, arr in zip(tbl, nxt):
+                ref[m] = arr
+            return 0
+
+        jax.lax.fori_loop(2, TABLE_S, tbody, 0)
+
+        # --- window accumulation over the SUB sub-chunks ------------------
+        W = dig_ref.shape[0]
+        sel_shape = (L, W, chunk)
+
+        def chunk_body(s, acc):
+            digs = dig_ref[:, s]  # [W, C] signed digits in [-7, 8]
+            mags = jnp.abs(digs)
+
+            def sbody(m, sel):
+                mask = (mags == m)[None]  # [1, W, C]
+                out = []
+                for ref, sv in zip(tbl, sel):
+                    # one ref load carrying both dynamic indices (a value-
+                    # level dynamic_slice has no Mosaic lowering)
+                    e = jnp.broadcast_to(ref[m, :, s][:, None], sel_shape)
+                    out.append(jnp.where(mask, e, sv))
+                return tuple(out)
+
+            sel = jax.lax.fori_loop(
+                1, TABLE_S, sbody, curve.identity((W, chunk), k)
+            )
+            # signed digit: negate the selected point where digit < 0
+            sel = curve.neg_where((digs < 0)[None], sel, k)
+            return curve.add(acc, sel, k)
+
+        acc = tuple(r[:] for r in accin)
+        acc = jax.lax.fori_loop(0, sub, chunk_body, acc)
+        for ref, arr in zip(accout, acc):
             ref[:] = arr
 
-    def chunk_body(s, acc):
-        digs = dig_ref[:, s]  # [W, C]
+    return kernel
 
-        def sbody(m, sel):
-            mask = (digs == m)[None]  # [1, W, C]
-            out = []
-            for ref, sv in zip(tbl, sel):
-                # one ref load carrying both dynamic indices (a value-level
-                # dynamic_slice has no Mosaic lowering)
-                e = jnp.broadcast_to(ref[m, :, s][:, None], sel_shape)
-                out.append(jnp.where(mask, e, sv))
-            return tuple(out)
 
-        sel = jax.lax.fori_loop(
-            1, TABLE, sbody, _identity_lm((W, chunk), k)
-        )
-        return ed_add_lm(acc, sel, k)
+def _make_tail_kernel(curve):
+    nc = curve.NC
 
-    acc = tuple(ref[:] for ref in outs)
-    acc = jax.lax.fori_loop(0, sub, chunk_body, acc)
-    for ref, arr in zip(outs, acc):
-        ref[:] = arr
+    def kernel(*refs):
+        """Window accumulators [L, W, C] -> one point [L, C] (lanes equal):
+        butterfly lane reduction by rolls + the windowed Horner ladder.
+        In-kernel because the XLA tail's HBM round trips previously cost
+        ~75% of MSM wall time."""
+        accs = refs[:nc]
+        fouts = refs[nc : 2 * nc]
+        red = refs[2 * nc : 3 * nc]
+
+        k = curve.consts()
+        W, chunk = accs[0].shape[1], accs[0].shape[2]
+
+        # butterfly all-reduce over the C lanes: after log2(C) rounds of
+        # add(x, roll(x, 2^j)) every lane holds the full lane-sum
+        x = tuple(ref[:] for ref in accs)
+        shift = 1
+        while shift < chunk:
+            rolled = tuple(jnp.roll(a, shift, axis=2) for a in x)
+            x = curve.add(x, rolled, k)
+            shift *= 2
+        for ref, arr in zip(red, x):
+            ref[:] = arr
+
+        # Horner over the (MSB-first) windows: acc = acc^16 * S_w
+        def wbody(w, h):
+            h = jax.lax.fori_loop(0, WINDOW, lambda _, a: curve.dbl(a, k), h)
+            sw = tuple(ref[:, w, :] for ref in red)  # [L, C]
+            return curve.add(h, sw, k)
+
+        final = jax.lax.fori_loop(0, W, wbody, curve.identity((chunk,), k))
+        for ref, arr in zip(fouts, final):
+            ref[:] = arr
+
+    return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _build(n: int, chunk: int, sub: int, nwindows: int, interpret: bool):
-    assert n % (chunk * sub) == 0
-    grid = (n // (chunk * sub),)
-    pt_spec = pl.BlockSpec((L, sub, chunk), lambda i: (0, i, 0))
-    dig_spec = pl.BlockSpec((nwindows, sub, chunk), lambda i: (0, i, 0))
-    out_spec = pl.BlockSpec((L, nwindows, chunk), lambda i: (0, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((L, nwindows, chunk), jnp.uint32)
-    scratch = [pltpu.VMEM((TABLE, L, sub, chunk), jnp.uint32)] * 4
+def _chunk_call(curve, chunk: int, sub: int, nwindows: int, interpret: bool):
+    nc = curve.NC
+    acc_shape = jax.ShapeDtypeStruct((L, nwindows, chunk), jnp.uint32)
     call = pl.pallas_call(
-        _msm_kernel,
-        grid=grid,
-        in_specs=[dig_spec] + [pt_spec] * 4,
-        out_specs=[out_spec] * 4,
-        out_shape=[out_shape] * 4,
-        scratch_shapes=scratch,
+        _make_chunk_kernel(curve),
+        out_shape=[acc_shape] * nc,
+        scratch_shapes=[pltpu.VMEM((TABLE_S, L, sub, chunk), jnp.uint32)] * nc,
+        input_output_aliases={1 + nc + i: i for i in range(nc)},
         compiler_params=pltpu.CompilerParams(
             # the window-accumulation fori_loop carries ~10 live [L, W, C]
             # temporaries; the default 16 MiB scoped-vmem budget OOMs at
@@ -195,138 +313,89 @@ def _build(n: int, chunk: int, sub: int, nwindows: int, interpret: bool):
         interpret=interpret,
     )
 
-    def run(points_bm, digits):
-        # [n, L] batch-major coords -> limb-major [L, n//C, C]
-        lmaj = tuple(
-            jnp.transpose(a, (1, 0)).reshape(L, n // chunk, chunk)
-            for a in points_bm
-        )
-        digits = digits.reshape(nwindows, n // chunk, chunk)
-        partial = call(digits, *lmaj)
-        # [L, W, C] -> [W, C, L] batch-major for the XLA tail
-        pts = tuple(jnp.transpose(a, (1, 2, 0)) for a in partial)
-        red = ced.reduce_lanes(pts, axis=1)  # [W, L]
+    def step(digits, pts, acc):
+        return tuple(call(digits, *pts, *acc))
 
-        def horner(acc, s_w):
-            for _ in range(WINDOW):
-                acc = ced.double(acc)
-            return ced.add(acc, s_w), None
-
-        out, _ = jax.lax.scan(horner, ced.identity(()), red)
-        return out
-
-    return jax.jit(run)
-
-
-def _fold_kernel(dig_ref, lx, ly, lz, lt, rx, ry, rz, rt,
-                 ox, oy, oz, ot, tx_ref, ty_ref, tz_ref, tt_ref):
-    """g_l^c * g_r with a scalar c shared across all lanes
-    (reference compressed_pivot.py:64).
-
-    Per chunk: build the 0..15 multiple table of g_l (14 adds over full
-    [SUB, C] tiles), then Horner over c's 4-bit windows — 4 dedicated
-    doublings plus one table add per window, digits read from SMEM."""
-    k = _consts()
-    tbl = (tx_ref, ty_ref, tz_ref, tt_ref)
-    gl = (lx[:], ly[:], lz[:], lt[:])  # [L, SUB, C]
-    sub, chunk = lx.shape[1], lx.shape[2]
-
-    for ref, arr in zip(tbl, _identity_lm((sub, chunk), k)):
-        ref[0] = arr
-    for ref, arr in zip(tbl, gl):
-        ref[1] = arr
-
-    def tbody(m, _):
-        prev = tuple(ref[m - 1] for ref in tbl)
-        nxt = ed_add_lm(prev, gl, k)
-        for ref, arr in zip(tbl, nxt):
-            ref[m] = arr
-        return 0
-
-    jax.lax.fori_loop(2, TABLE, tbody, 0)
-
-    nw = dig_ref.shape[0]
-
-    def wbody(w, acc):
-        acc = jax.lax.fori_loop(
-            0, WINDOW, lambda _, a: ed_dbl_lm(a, k), acc
-        )
-        d = dig_ref[w, 0]
-        entry = tuple(ref[d] for ref in tbl)
-        return ed_add_lm(acc, entry, k)
-
-    acc = jax.lax.fori_loop(0, nw, wbody, _identity_lm((sub, chunk), k))
-    res = ed_add_lm(acc, (rx[:], ry[:], rz[:], rt[:]), k)
-    for ref, arr in zip((ox, oy, oz, ot), res):
-        ref[:] = arr
+    return jax.jit(step, donate_argnums=(2,))
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fold(n: int, chunk: int, sub: int, nw: int, interpret: bool):
-    assert n % (chunk * sub) == 0
-    grid = (n // (chunk * sub),)
-    pt_spec = pl.BlockSpec((L, sub, chunk), lambda i: (0, i, 0))
-    dig_spec = pl.BlockSpec(
-        (nw, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
-    )
-    out_shape = jax.ShapeDtypeStruct((L, n // chunk, chunk), jnp.uint32)
-    scratch = [pltpu.VMEM((TABLE, L, sub, chunk), jnp.uint32)] * 4
+def _tail_call(curve, chunk: int, nwindows: int, interpret: bool):
+    nc = curve.NC
+    out_shape = jax.ShapeDtypeStruct((L, chunk), jnp.uint32)
     call = pl.pallas_call(
-        _fold_kernel,
-        grid=grid,
-        in_specs=[dig_spec] + [pt_spec] * 8,
-        out_specs=[pt_spec] * 4,
-        out_shape=[out_shape] * 4,
-        scratch_shapes=scratch,
+        _make_tail_kernel(curve),
+        out_shape=[out_shape] * nc,
+        scratch_shapes=[pltpu.VMEM((L, nwindows, chunk), jnp.uint32)] * nc,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )
 
-    def run(gl_bm, gr_bm, digits):
-        lmaj = tuple(
-            jnp.transpose(a, (1, 0)).reshape(L, n // chunk, chunk)
-            for a in gl_bm + gr_bm
-        )
-        out = call(digits, *lmaj)
-        # back to batch-major [n, L]
-        return tuple(
-            jnp.transpose(a.reshape(L, n), (1, 0)) for a in out
-        )
+    def tail(acc):
+        final = call(*acc)
+        return tuple(a[:, 0] for a in final)
 
-    return jax.jit(run)
+    return jax.jit(tail)
 
 
-def fold(g_l, g_r, c: int, chunk: int = 128, sub: int = 8,
-         interpret: bool | None = None) -> list:
-    """[g_l[i]**c * g_r[i]] via the fused Pallas kernel."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    n = len(g_l)
-    assert n == len(g_r)
-    target = max(chunk, _pow2_pad(n, 1))
-    chunk = min(chunk, target)
-    sub = max(1, min(sub, target // chunk))
-    pad = target - n
-    if pad:
-        g_l = list(g_l) + [EdwardsPoint.identity] * pad
-        g_r = list(g_r) + [EdwardsPoint.identity] * pad
-    dev_l = ced.encode_points(g_l)
-    dev_r = ced.encode_points(g_r)
-    c = int(c)
-    digits_np = _scalar_digits([c])[:, 0]  # [NWINDOWS] MSB first
-    nw = max(1, -(-max(1, c.bit_length()) // WINDOW))
-    digits = jnp.asarray(
-        digits_np[NWINDOWS - nw:].reshape(nw, 1).astype(np.int32)
-    )
-    out = _build_fold(target, chunk, sub, nw, interpret)(dev_l, dev_r, digits)
-    return ced.decode_points(out)[:n]
+@functools.lru_cache(maxsize=None)
+def _acc_init(curve, chunk: int, nwindows: int):
+    def init():
+        k = curve.consts()
+        return curve.identity((nwindows, chunk), k)
+
+    return jax.jit(init)
 
 
-def msm(points, scalars, chunk: int = 128, sub: int = 8,
-        interpret: bool | None = None):
-    """prod points[i] ** scalars[i] via the fused Pallas kernel."""
+@functools.lru_cache(maxsize=None)
+def _prep_call(curve, n: int, chunk: int, sub: int, nwindows: int):
+    nc = curve.NC
+    steps = n // (chunk * sub)
+
+    def prep(points_bm, digits):
+        # [n, L] batch-major -> steps x (nc x [L, SUB, C]) limb-major
+        lmaj = [
+            jnp.transpose(a, (1, 0)).reshape(L, steps, sub, chunk)
+            for a in points_bm
+        ]
+        pts = [
+            tuple(a[:, i] for a in lmaj) for i in range(steps)
+        ]
+        digits = digits.reshape(nwindows, steps, sub, chunk)
+        digs = [digits[:, i] for i in range(steps)]
+        return pts, digs
+
+    return jax.jit(prep)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_for(curve, n: int, chunk: int, sub: int, nwindows: int,
+               interpret: bool):
+    assert n % (chunk * sub) == 0
+    steps = n // (chunk * sub)
+    step_fn = _chunk_call(curve, chunk, sub, nwindows, interpret)
+    tail_fn = _tail_call(curve, chunk, nwindows, interpret)
+    prep_fn = _prep_call(curve, n, chunk, sub, nwindows)
+    init_fn = _acc_init(curve, chunk, nwindows)
+
+    def run(points_bm, digits):
+        pts, digs = prep_fn(points_bm, digits)
+        acc = init_fn()
+        for i in range(steps):
+            acc = step_fn(digs[i], pts[i], acc)
+        return tail_fn(acc)
+
+    return run
+
+
+def _build(n, chunk, sub, nwindows, interpret):
+    """Ed25519 entry (kept for bench/probe compatibility)."""
+    return _build_for(ED, n, chunk, sub, nwindows, interpret)
+
+
+def _msm_generic(curve, points, scalars, chunk, sub, interpret):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = len(points)
@@ -336,19 +405,189 @@ def msm(points, scalars, chunk: int = 128, sub: int = 8,
     sub = max(1, min(sub, target // chunk))
     pad = target - n
     if pad:
-        points = list(points) + [EdwardsPoint.identity] * pad
+        points = list(points) + [curve.group_cls.identity] * pad
         scalars = list(scalars) + [0] * pad
-    dev_pts = ced.encode_points(points)
-    digits_np = _scalar_digits(scalars)  # [NWINDOWS, n] MSB first
+    dev_pts = curve.encode(points)
+    digits_np = _scalar_digits_signed(scalars, curve.order)  # [W, n] MSB 1st
     # trim all-zero leading windows (rounded to a sublane multiple of 8):
     # full-size scalars keep all 64, but short exponents (tests, small
     # bit-length batches) shrink the whole [L, W, C] working set
-    top = max((int(s).bit_length() for s in scalars), default=1)
-    windows_needed = -(-top // WINDOW)
-    nw = min(NWINDOWS, max(8, -(-windows_needed // 8) * 8))
+    nonzero = np.flatnonzero(digits_np.any(axis=1))
+    windows_needed = NWINDOWS - nonzero[0] if nonzero.size else 1
+    # two window counts only (8 | 64): each count is its own Mosaic compile
+    nw = 8 if windows_needed <= 8 else NWINDOWS
     digits = jnp.asarray(digits_np[NWINDOWS - nw:])
-    out = _build(target, chunk, sub, nw, interpret)(dev_pts, digits)
-    return ced.decode_point(out)
+    out = _build_for(curve, target, chunk, sub, nw, interpret)(dev_pts, digits)
+    return curve.decode_one(out)
+
+
+def msm(points, scalars, chunk: int = 128, sub: int = 8,
+        interpret: bool | None = None):
+    """prod points[i] ** scalars[i] via the fused Pallas kernel (Ed25519)."""
+    return _msm_generic(ED, points, scalars, chunk, sub, interpret)
+
+
+# ---------------------------------------------------------------------------
+# generic shared-scalar fold kernel (protocol-4 generator fold)
+# ---------------------------------------------------------------------------
+
+
+def _make_fold_kernel(curve):
+    nc = curve.NC
+
+    def kernel(*refs):
+        """g_l^c * g_r with a scalar c shared across all lanes
+        (reference compressed_pivot.py:64).
+
+        Per chunk: build the 0..15 multiple table of g_l (14 adds over full
+        [SUB, C] tiles), then Horner over c's 4-bit windows — 4 dedicated
+        doublings plus one table add per window, digits read from SMEM."""
+        dig_ref = refs[0]
+        l_refs = refs[1 : 1 + nc]
+        r_refs = refs[1 + nc : 1 + 2 * nc]
+        outs = refs[1 + 2 * nc : 1 + 3 * nc]
+        tbl = refs[1 + 3 * nc : 1 + 4 * nc]
+
+        k = curve.consts()
+        gl = tuple(r[:] for r in l_refs)  # [L, SUB, C]
+        sub, chunk = gl[0].shape[1], gl[0].shape[2]
+
+        for ref, arr in zip(tbl, curve.identity((sub, chunk), k)):
+            ref[0] = arr
+        for ref, arr in zip(tbl, gl):
+            ref[1] = arr
+
+        def tbody(m, _):
+            prev = tuple(ref[m - 1] for ref in tbl)
+            nxt = curve.add(prev, gl, k)
+            for ref, arr in zip(tbl, nxt):
+                ref[m] = arr
+            return 0
+
+        jax.lax.fori_loop(2, TABLE, tbody, 0)
+
+        nw = dig_ref.shape[0]
+
+        def wbody(w, acc):
+            acc = jax.lax.fori_loop(
+                0, WINDOW, lambda _, a: curve.dbl(a, k), acc
+            )
+            d = dig_ref[w, 0]
+            entry = tuple(ref[d] for ref in tbl)
+            return curve.add(acc, entry, k)
+
+        acc = jax.lax.fori_loop(0, nw, wbody, curve.identity((sub, chunk), k))
+        res = curve.add(acc, tuple(r[:] for r in r_refs), k)
+        for ref, arr in zip(outs, res):
+            ref[:] = arr
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_chunk_call(curve, chunk: int, sub: int, nw: int, interpret: bool):
+    """FIXED-shape per-chunk fold (one Mosaic compile for every fold size)."""
+    nc = curve.NC
+    pt_shape = jax.ShapeDtypeStruct((L, sub, chunk), jnp.uint32)
+    call = pl.pallas_call(
+        _make_fold_kernel(curve),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * nc),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * nc,
+        out_shape=[pt_shape] * nc,
+        scratch_shapes=[pltpu.VMEM((TABLE, L, sub, chunk), jnp.uint32)] * nc,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def step(digits, gl, gr):
+        return tuple(call(digits, *gl, *gr))
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_prep_call(curve, n: int, chunk: int, sub: int):
+    steps = n // (chunk * sub)
+
+    def prep(gl_bm, gr_bm):
+        lmaj = [
+            jnp.transpose(a, (1, 0)).reshape(L, steps, sub, chunk)
+            for a in gl_bm + gr_bm
+        ]
+        per_step = [tuple(a[:, i] for a in lmaj) for i in range(steps)]
+        return per_step
+
+    return jax.jit(prep)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fold_for(curve, n: int, chunk: int, sub: int, nw: int,
+                    interpret: bool):
+    assert n % (chunk * sub) == 0
+    nc = curve.NC
+    steps = n // (chunk * sub)
+    step_fn = _fold_chunk_call(curve, chunk, sub, nw, interpret)
+    prep_fn = _fold_prep_call(curve, n, chunk, sub)
+
+    def run(gl_bm, gr_bm, digits):
+        per_step = prep_fn(tuple(gl_bm), tuple(gr_bm))
+        outs = []
+        for both in per_step:
+            gl, gr = both[:nc], both[nc:]
+            outs.append(step_fn(digits, gl, gr))
+        # back to batch-major [n, L] on host (the caller decodes anyway)
+        host = [
+            [np.asarray(a).reshape(L, sub * chunk).T for a in out]
+            for out in outs
+        ]
+        return tuple(
+            np.concatenate([h[c] for h in host], axis=0) for c in range(nc)
+        )
+
+    return run
+
+
+def _build_fold(n, chunk, sub, nw, interpret):
+    return _build_fold_for(ED, n, chunk, sub, nw, interpret)
+
+
+def _fold_generic(curve, g_l, g_r, c, chunk, sub, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = len(g_l)
+    assert n == len(g_r)
+    target = max(chunk, _pow2_pad(n, 1))
+    chunk = min(chunk, target)
+    sub = max(1, min(sub, target // chunk))
+    pad = target - n
+    if pad:
+        g_l = list(g_l) + [curve.group_cls.identity] * pad
+        g_r = list(g_r) + [curve.group_cls.identity] * pad
+    dev_l = curve.encode(g_l)
+    dev_r = curve.encode(g_r)
+    c = int(c)
+    digits_np = _scalar_digits([c], curve.order)[:, 0]  # [NWINDOWS] MSB first
+    c = c % curve.order
+    if interpret:  # trimmed windows keep interpret-mode tests fast
+        nw = max(1, -(-max(1, c.bit_length()) // WINDOW))
+    else:  # fixed window count = one Mosaic compile for every challenge
+        nw = NWINDOWS
+    digits = jnp.asarray(
+        digits_np[NWINDOWS - nw:].reshape(nw, 1).astype(np.int32)
+    )
+    out = _build_fold_for(curve, target, chunk, sub, nw, interpret)(
+        dev_l, dev_r, digits
+    )
+    return curve.decode_many(out)[:n]
+
+
+def fold(g_l, g_r, c: int, chunk: int = 128, sub: int = 8,
+         interpret: bool | None = None) -> list:
+    """[g_l[i]**c * g_r[i]] via the fused Pallas kernel (Ed25519)."""
+    return _fold_generic(ED, g_l, g_r, c, chunk, sub, interpret)
 
 
 def register(min_batch: int = 512, chunk: int = 128):
