@@ -210,6 +210,12 @@ def fold(g_l, g_r, c: int, chunk: int = 128, sub: int = 8,
     return mp._fold_generic(BN, g_l, g_r, c, chunk, sub, interpret)
 
 
+def batch_exp(base, exponents, chunk: int = 128, sub: int = 8,
+              interpret: bool | None = None) -> list:
+    """[base ** e for e in exponents] on BN256 G1 via the fused kernel."""
+    return mp._batch_exp_generic(BN, base, exponents, chunk, sub, interpret)
+
+
 def register(min_batch: int = 512, chunk: int = 128):
     """Install the fused kernels as the BN256-G1 dispatch backends."""
     dispatch.register_msm_backend(
@@ -217,4 +223,7 @@ def register(min_batch: int = 512, chunk: int = 128):
     )
     dispatch.register_fold_backend(
         BNPoint, lambda gl, gr, c: fold(gl, gr, c, chunk=chunk), min_batch
+    )
+    dispatch.register_batch_exp_backend(
+        BNPoint, lambda b, e: batch_exp(b, e, chunk=chunk), min_batch
     )

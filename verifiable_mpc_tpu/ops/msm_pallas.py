@@ -296,10 +296,13 @@ def _make_tail_kernel(curve):
 
 
 @functools.lru_cache(maxsize=None)
-def _chunk_call(curve, chunk: int, sub: int, nwindows: int, interpret: bool):
+def _chunk_pallas(curve, chunk: int, sub: int, nwindows: int,
+                  interpret: bool):
+    """Raw per-chunk pallas_call (also composed under shard_map by
+    parallel/mesh.py — keep it jit-free here)."""
     nc = curve.NC
     acc_shape = jax.ShapeDtypeStruct((L, nwindows, chunk), jnp.uint32)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         _make_chunk_kernel(curve),
         out_shape=[acc_shape] * nc,
         scratch_shapes=[pltpu.VMEM((TABLE_S, L, sub, chunk), jnp.uint32)] * nc,
@@ -313,6 +316,11 @@ def _chunk_call(curve, chunk: int, sub: int, nwindows: int, interpret: bool):
         interpret=interpret,
     )
 
+
+@functools.lru_cache(maxsize=None)
+def _chunk_call(curve, chunk: int, sub: int, nwindows: int, interpret: bool):
+    call = _chunk_pallas(curve, chunk, sub, nwindows, interpret)
+
     def step(digits, pts, acc):
         return tuple(call(digits, *pts, *acc))
 
@@ -320,10 +328,10 @@ def _chunk_call(curve, chunk: int, sub: int, nwindows: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _tail_call(curve, chunk: int, nwindows: int, interpret: bool):
+def _tail_pallas(curve, chunk: int, nwindows: int, interpret: bool):
     nc = curve.NC
     out_shape = jax.ShapeDtypeStruct((L, chunk), jnp.uint32)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         _make_tail_kernel(curve),
         out_shape=[out_shape] * nc,
         scratch_shapes=[pltpu.VMEM((L, nwindows, chunk), jnp.uint32)] * nc,
@@ -332,6 +340,11 @@ def _tail_call(curve, chunk: int, nwindows: int, interpret: bool):
         ),
         interpret=interpret,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_call(curve, chunk: int, nwindows: int, interpret: bool):
+    call = _tail_pallas(curve, chunk, nwindows, interpret)
 
     def tail(acc):
         final = call(*acc)
@@ -400,9 +413,10 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
         interpret = jax.default_backend() == "cpu"
     n = len(points)
     assert n == len(scalars)
-    target = max(chunk, _pow2_pad(n, 1))
-    chunk = min(chunk, target)
-    sub = max(1, min(sub, target // chunk))
+    # pad up to a single (chunk, sub) kernel shape: each distinct shape is a
+    # separate Mosaic compile (~minutes on the TPU tunnel), and identity
+    # padding costs at most one extra grid step
+    target = max(chunk * sub, _pow2_pad(n, 1))
     pad = target - n
     if pad:
         points = list(points) + [curve.group_cls.identity] * pad
@@ -414,8 +428,10 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
     # bit-length batches) shrink the whole [L, W, C] working set
     nonzero = np.flatnonzero(digits_np.any(axis=1))
     windows_needed = NWINDOWS - nonzero[0] if nonzero.size else 1
-    # two window counts only (8 | 64): each count is its own Mosaic compile
-    nw = 8 if windows_needed <= 8 else NWINDOWS
+    if interpret:  # exact trim keeps interpret-mode tests fast
+        nw = max(1, int(windows_needed))
+    else:  # two window counts only (8 | 64): each is its own Mosaic compile
+        nw = 8 if windows_needed <= 8 else NWINDOWS
     digits = jnp.asarray(digits_np[NWINDOWS - nw:])
     out = _build_for(curve, target, chunk, sub, nw, interpret)(dev_pts, digits)
     return curve.decode_one(out)
@@ -485,11 +501,12 @@ def _make_fold_kernel(curve):
 
 
 @functools.lru_cache(maxsize=None)
-def _fold_chunk_call(curve, chunk: int, sub: int, nw: int, interpret: bool):
-    """FIXED-shape per-chunk fold (one Mosaic compile for every fold size)."""
+def _fold_pallas(curve, chunk: int, sub: int, nw: int, interpret: bool):
+    """Raw fold pallas_call (FIXED shape: one Mosaic compile serves every
+    fold size; also composed under shard_map by parallel/mesh.py)."""
     nc = curve.NC
     pt_shape = jax.ShapeDtypeStruct((L, sub, chunk), jnp.uint32)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         _make_fold_kernel(curve),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * nc),
@@ -501,6 +518,11 @@ def _fold_chunk_call(curve, chunk: int, sub: int, nw: int, interpret: bool):
         ),
         interpret=interpret,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_chunk_call(curve, chunk: int, sub: int, nw: int, interpret: bool):
+    call = _fold_pallas(curve, chunk, sub, nw, interpret)
 
     def step(digits, gl, gr):
         return tuple(call(digits, *gl, *gr))
@@ -524,6 +546,25 @@ def _fold_prep_call(curve, n: int, chunk: int, sub: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _fold_finish_call(curve, n: int, chunk: int, sub: int):
+    """Stack the per-step outputs into ONE [nc, n, L] device array: a single
+    host transfer instead of nc*steps small ones (each synchronous pull
+    costs a full tunnel round trip and dominated fold wall time)."""
+    nc = curve.NC
+
+    def finish(outs):
+        coords = [
+            jnp.concatenate(
+                [o[c].reshape(L, sub * chunk) for o in outs], axis=1
+            ).T  # [n, L] batch-major
+            for c in range(nc)
+        ]
+        return jnp.stack(coords)
+
+    return jax.jit(finish)
+
+
+@functools.lru_cache(maxsize=None)
 def _build_fold_for(curve, n: int, chunk: int, sub: int, nw: int,
                     interpret: bool):
     assert n % (chunk * sub) == 0
@@ -531,6 +572,7 @@ def _build_fold_for(curve, n: int, chunk: int, sub: int, nw: int,
     steps = n // (chunk * sub)
     step_fn = _fold_chunk_call(curve, chunk, sub, nw, interpret)
     prep_fn = _fold_prep_call(curve, n, chunk, sub)
+    finish_fn = _fold_finish_call(curve, n, chunk, sub)
 
     def run(gl_bm, gr_bm, digits):
         per_step = prep_fn(tuple(gl_bm), tuple(gr_bm))
@@ -538,14 +580,8 @@ def _build_fold_for(curve, n: int, chunk: int, sub: int, nw: int,
         for both in per_step:
             gl, gr = both[:nc], both[nc:]
             outs.append(step_fn(digits, gl, gr))
-        # back to batch-major [n, L] on host (the caller decodes anyway)
-        host = [
-            [np.asarray(a).reshape(L, sub * chunk).T for a in out]
-            for out in outs
-        ]
-        return tuple(
-            np.concatenate([h[c] for h in host], axis=0) for c in range(nc)
-        )
+        stacked = np.asarray(finish_fn(outs))  # [nc, n, L], one transfer
+        return tuple(stacked)
 
     return run
 
@@ -559,9 +595,8 @@ def _fold_generic(curve, g_l, g_r, c, chunk, sub, interpret):
         interpret = jax.default_backend() == "cpu"
     n = len(g_l)
     assert n == len(g_r)
-    target = max(chunk, _pow2_pad(n, 1))
-    chunk = min(chunk, target)
-    sub = max(1, min(sub, target // chunk))
+    # single (chunk, sub) kernel shape — see _msm_generic
+    target = max(chunk * sub, _pow2_pad(n, 1))
     pad = target - n
     if pad:
         g_l = list(g_l) + [curve.group_cls.identity] * pad
@@ -590,6 +625,139 @@ def fold(g_l, g_r, c: int, chunk: int = 128, sub: int = 8,
     return _fold_generic(ED, g_l, g_r, c, chunk, sub, interpret)
 
 
+# ---------------------------------------------------------------------------
+# generic fixed-base batch-exponentiation kernel (generator/CRS setup,
+# reference circuit_sat_r1cs.py:47-93, knowledge_of_exponent.py:50-72,
+# pynocchio.py:101-200)
+# ---------------------------------------------------------------------------
+
+
+def _make_bexp_kernel(curve):
+    nc = curve.NC
+
+    def kernel(*refs):
+        """base ** e_i with PER-LANE exponents and a SHARED base: the 0..8
+        multiple table is precomputed on host (9 points), so the kernel is
+        just the signed-window Horner ladder — 4 doublings + one broadcast
+        select + one addition per window, all lanes in parallel."""
+        dig_ref = refs[0]  # [W, SUB, C] signed digits in [-7, 8]
+        tbl = refs[1 : 1 + nc]  # nc x [TABLE_S, L, C]
+        outs = refs[1 + nc : 1 + 2 * nc]
+
+        k = curve.consts()
+        nw = dig_ref.shape[0]
+        sub, chunk = dig_ref.shape[1], dig_ref.shape[2]
+        shape = (L, sub, chunk)
+
+        def wbody(w, acc):
+            acc = jax.lax.fori_loop(
+                0, WINDOW, lambda _, a: curve.dbl(a, k), acc
+            )
+            digs = dig_ref[w]  # [SUB, C]
+            mags = jnp.abs(digs)
+
+            def sbody(m, sel):
+                mask = (mags == m)[None]  # [1, SUB, C]
+                out = []
+                for ref, sv in zip(tbl, sel):
+                    e = jnp.broadcast_to(ref[m][:, None, :], shape)
+                    out.append(jnp.where(mask, e, sv))
+                return tuple(out)
+
+            sel = jax.lax.fori_loop(
+                1, TABLE_S, sbody, curve.identity((sub, chunk), k)
+            )
+            sel = curve.neg_where((digs < 0)[None], sel, k)
+            return curve.add(acc, sel, k)
+
+        acc = jax.lax.fori_loop(0, nw, wbody, curve.identity((sub, chunk), k))
+        for ref, arr in zip(outs, acc):
+            ref[:] = arr
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _bexp_pallas(curve, chunk: int, sub: int, nw: int, interpret: bool):
+    nc = curve.NC
+    pt_shape = jax.ShapeDtypeStruct((L, sub, chunk), jnp.uint32)
+    return pl.pallas_call(
+        _make_bexp_kernel(curve),
+        out_shape=[pt_shape] * nc,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bexp_chunk_call(curve, chunk: int, sub: int, nw: int, interpret: bool):
+    call = _bexp_pallas(curve, chunk, sub, nw, interpret)
+
+    def step(digits, tbl):
+        return tuple(call(digits, *tbl))
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=None)
+def _bexp_finish_call(curve, steps: int, chunk: int, sub: int):
+    nc = curve.NC
+
+    def finish(outs):
+        coords = [
+            jnp.concatenate(
+                [o[c].reshape(L, sub * chunk) for o in outs], axis=1
+            ).T
+            for c in range(nc)
+        ]
+        return jnp.stack(coords)  # [nc, n, L]
+
+    return jax.jit(finish)
+
+
+def _batch_exp_generic(curve, base, exponents, chunk, sub, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = len(exponents)
+    target = max(chunk * sub, _pow2_pad(n, 1))
+    exps = [int(e) % curve.order for e in exponents] + [0] * (target - n)
+    steps = target // (chunk * sub)
+
+    # host-side table: 0..8 multiples of the shared base, lane-broadcast
+    multiples = [base ** m for m in range(TABLE_S)]
+    enc = curve.encode(multiples)  # nc x [TABLE_S, L] batch-major
+    tbl = tuple(
+        jnp.broadcast_to(jnp.asarray(a)[:, :, None], (TABLE_S, L, chunk))
+        for a in enc
+    )
+
+    digits_np = _scalar_digits_signed(exps, curve.order)  # [W, target]
+    nonzero = np.flatnonzero(digits_np.any(axis=1))
+    windows_needed = NWINDOWS - nonzero[0] if nonzero.size else 1
+    if interpret:  # exact trim keeps interpret-mode tests fast
+        nw = max(1, int(windows_needed))
+    else:
+        nw = 8 if windows_needed <= 8 else NWINDOWS
+    digits = jnp.asarray(
+        digits_np[NWINDOWS - nw:].reshape(nw, steps, sub, chunk)
+    )
+
+    step_fn = _bexp_chunk_call(curve, chunk, sub, nw, interpret)
+    outs = [step_fn(digits[:, i], tbl) for i in range(steps)]
+    stacked = np.asarray(
+        _bexp_finish_call(curve, steps, chunk, sub)(outs)
+    )
+    return curve.decode_many(tuple(stacked))[:n]
+
+
+def batch_exp(base, exponents, chunk: int = 128, sub: int = 8,
+              interpret: bool | None = None) -> list:
+    """[base ** e for e in exponents] via the fused Pallas kernel (Ed25519)."""
+    return _batch_exp_generic(ED, base, exponents, chunk, sub, interpret)
+
+
 def register(min_batch: int = 512, chunk: int = 128):
     """Install the fused kernels as the Ed25519 dispatch backends."""
     dispatch.register_msm_backend(
@@ -597,4 +765,7 @@ def register(min_batch: int = 512, chunk: int = 128):
     )
     dispatch.register_fold_backend(
         EdwardsPoint, lambda gl, gr, c: fold(gl, gr, c, chunk=chunk), min_batch
+    )
+    dispatch.register_batch_exp_backend(
+        EdwardsPoint, lambda b, e: batch_exp(b, e, chunk=chunk), min_batch
     )
