@@ -56,6 +56,25 @@ def test_limbs_lm_add_sub_mod_oracle():
     ]
 
 
+def test_signed_recoding_roundtrip():
+    """Balanced signed-window recoding reconstructs s mod order with digit
+    magnitudes <= 8, including 256-bit orders where a near-order scalar has
+    top-window digit 8 (the unbalanced recoding overflowed NWINDOWS there)."""
+    from verifiable_mpc_tpu.groups.bn256 import ORDER as BN_ORDER
+
+    for order in (ELL, BN_ORDER):
+        ss = [rng.randrange(order) for _ in range(500)]
+        ss += [0, 1, order - 1, order // 2, order // 2 + 1, 1 << 255]
+        digs = mp._scalar_digits_signed(ss, order).astype(object)
+        recon = np.zeros(len(ss), dtype=object)
+        for w in range(digs.shape[0]):
+            recon = recon * 16 + digs[w]
+        assert all(
+            (int(r) - (s % order)) % order == 0 for r, s in zip(recon, ss)
+        )
+        assert int(np.abs(digs.astype(np.int64)).max()) <= 8
+
+
 def test_pallas_msm_matches_naive():
     n = 8
     g = EdwardsPoint.generator

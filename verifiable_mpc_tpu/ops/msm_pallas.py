@@ -52,13 +52,20 @@ TABLE_S = (1 << (WINDOW - 1)) + 1  # 0..8: signed-digit MSM table
 
 
 def _scalar_digits_signed(scalars, order: int = ELL) -> np.ndarray:
-    """[N] ints -> [NWINDOWS, N] int32 signed 4-bit digits in [-7, 8],
+    """[N] ints -> [NWINDOWS, N] int32 signed 4-bit digits in [-8, 8],
     most significant window first.
 
     Standard signed-window recoding: d > 8 borrows 16 from the next window,
     so the multiple table only needs 0..8 (halving both the table-build adds
-    and the digit-select chain vs the unsigned 0..15 table)."""
-    digs = _scalar_digits(scalars, order)[::-1].astype(np.int64)  # LSB first
+    and the digit-select chain vs the unsigned 0..15 table).  Scalars are
+    first balanced to [-order/2, order/2] (s > order/2 recodes order - s
+    with all digits negated): for a 256-bit order a near-order scalar has
+    top-window digit 8, and a borrow carry out of the MSB window would
+    otherwise overflow NWINDOWS."""
+    reduced = np.array([int(s) % order for s in scalars], dtype=object)
+    neg = reduced > order // 2
+    balanced = np.where(neg, order - reduced, reduced)
+    digs = _scalar_digits(list(balanced), order)[::-1].astype(np.int64)
     carry = np.zeros(digs.shape[1], np.int64)
     out = np.empty_like(digs)
     for w in range(digs.shape[0]):
@@ -66,6 +73,7 @@ def _scalar_digits_signed(scalars, order: int = ELL) -> np.ndarray:
         carry = (d > 8).astype(np.int64)
         out[w] = d - 16 * carry
     assert not carry.any(), "scalar overflow in signed recoding"
+    out[:, neg] = -out[:, neg]
     return np.ascontiguousarray(out[::-1].astype(np.int32))  # MSB first
 
 
