@@ -369,37 +369,182 @@ class Runtime:
 
         return cls(self._task(coro()))
 
+    # -- batched vector primitives (one message round each) ----------------
+    async def _random_vec(self, base, field, count):
+        """count uniform random shared field elements; every party adds a
+        random degree-t sharing, the sum is a uniform secret nobody knows."""
+        if self.m == 1:
+            return [field(_sysrand.randrange(field.modulus)) for _ in range(count)]
+        contribs = [
+            shamir.share(
+                field, _sysrand.randrange(field.modulus), self.m, self.threshold
+            )
+            for _ in range(count)
+        ]
+        per_dst = [
+            [contribs[j][dst] for j in range(count)] for dst in range(self.m)
+        ]
+        received = await self._scatter_gather(base, per_dst)
+        out = []
+        for j in range(count):
+            acc = 0
+            for i in range(self.m):
+                acc += int(received[i][j])
+            out.append(field(acc))
+        return out
+
+    async def _open_vec(self, base, shares):
+        """Open a vector of share values (public output at every party)."""
+        field = type(shares[0])
+        received = await self._exchange(base, [int(s) for s in shares])
+        if self.m == 1:
+            return list(shares)
+        lam = shamir.recombination_vector(field, self.m)
+        out = []
+        for j in range(len(shares)):
+            acc = 0
+            for i in range(self.m):
+                acc += int(received[i][j]) * lam[i]
+            out.append(field(acc))
+        return out
+
+    async def _schur_vec(self, base, a, b):
+        """Element-wise secure product of two share-value vectors with GRR
+        degree reduction; one batched message round."""
+        prods = [x * y for x, y in zip(a, b)]
+        if self.m == 1:
+            return prods
+        field = type(prods[0])
+        subs = [
+            shamir.share(field, p.value, self.m, self.threshold) for p in prods
+        ]
+        per_dst = [
+            [subs[j][dst] for j in range(len(prods))] for dst in range(self.m)
+        ]
+        received = await self._scatter_gather(base, per_dst)
+        lam = shamir.recombination_vector(field, self.m)
+        out = []
+        for j in range(len(prods)):
+            acc = 0
+            for i in range(self.m):
+                acc += int(received[i][j]) * lam[i]
+            out.append(field(acc))
+        return out
+
+    async def _random_bit_shares(self, base, field, count):
+        """count shared uniform bits via the square trick (Damgard et al.,
+        "Unconditionally secure constant-rounds MPC"): draw [r], open
+        s = r^2, then [b] = ([r]/sqrt(s) + 1)/2 — r/sqrt(s) is uniform in
+        {-1, +1} and s reveals nothing about its sign."""
+        inv2 = field((field.modulus + 1) // 2)
+        one = field(1)
+        bits = []
+        attempt = 0
+        while len(bits) < count:
+            need = count - len(bits)
+            rs = await self._random_vec((base, "r", attempt), field, need)
+            sq = await self._schur_vec((base, "sq", attempt), rs, rs)
+            opened = await self._open_vec((base, "open", attempt), sq)
+            for r, s in zip(rs, opened):
+                if int(s) == 0:
+                    continue  # r was 0 (probability 1/p); retry that slot
+                t = shamir.sqrt_mod(int(s), field.modulus)
+                bits.append((r * field(t).reciprocal() + one) * inv2)
+            attempt += 1
+        return bits
+
+    _STAT_SEC = 40  # statistical masking parameter (kappa)
+
+    async def _to_bits_protocol(self, base, av, field, l):
+        """Real bit decomposition of the signed l-bit representative.
+
+        Shift to unsigned a' = a + 2^(l-1) in [0, 2^l); mask with an
+        (l+kappa)-bit random r built from shared bits, open c = a' + r
+        (statistically hiding, no field wraparound since p >> 2^(l+kappa)),
+        then recover the low l bits of a' = c - r with a shared-bit ripple
+        borrow — one secure multiplication per bit.  The two's-complement
+        bits of a are those of a' with the top bit flipped."""
+        kappa = min(self._STAT_SEC, field.modulus.bit_length() - l - 2)
+        assert kappa >= 8, "field too small for statistical bit decomposition"
+        nb = l + kappa
+        b = await self._random_bit_shares((base, "bits"), field, nb)
+        r_acc = field(0)
+        for i, bi in enumerate(b):
+            r_acc = r_acc + bi * field(1 << i)
+        a_shift = av + field(1 << (l - 1))
+        c = (await self._open_vec((base, "mask"), [a_shift + r_acc]))[0]
+        cint = int(c)
+        one = field(1)
+        beta = field(0)  # borrow share
+        out = []
+        for i in range(l):
+            bb = (await self._schur_vec((base, "borrow", i), [b[i]], [beta]))[0]
+            if (cint >> i) & 1:
+                bit = one - b[i] - beta + bb + bb
+                beta = bb
+            else:
+                bit = b[i] + beta - bb - bb
+                beta = b[i] + beta - bb
+            out.append(bit)
+        out[l - 1] = one - out[l - 1]  # undo the 2^(l-1) shift (flip MSB)
+        return out
+
     def is_zero(self, a: SecureNumber):
-        """Secure zero test (ideal-functionality dealer)."""
+        """Secure zero test with secret output.
+
+        SecInt types run the real protocol — bit-decompose and take
+        1 - OR(bits) with a log-depth product tree.  SecFld types (full
+        field width, no statistical masking headroom) keep the hub's
+        ideal-functionality dealer."""
         base = ("iszero", self._next_pc())
         cls = type(a)
 
         async def coro():
             av = await a._value()
-            res = await self.hub.ideal_call(
-                self.pid,
-                base,
-                [av],
-                lambda secrets: [1 if secrets[0].value == 0 else 0],
-                cls.field,
-            )
-            return res[0]
+            if cls.bit_length is None:
+                res = await self.hub.ideal_call(
+                    self.pid,
+                    base,
+                    [av],
+                    lambda secrets: [1 if secrets[0].value == 0 else 0],
+                    cls.field,
+                )
+                return res[0]
+            # l+1 bits: a difference of two signed l-bit values occupies
+            # l+1 bits, and x == 0 iff all l+1 two's-complement bits vanish
+            l = cls.bit_length + 1
+            bits = await self._to_bits_protocol((base, "dec"), av, cls.field, l)
+            one = cls.field(1)
+            terms = [one - d for d in bits]  # AND-tree of NOT bits
+            rnd = 0
+            while len(terms) > 1:
+                half = len(terms) // 2
+                prods = await self._schur_vec(
+                    (base, "and", rnd), terms[:half], terms[half : 2 * half]
+                )
+                terms = prods + terms[2 * half :]
+                rnd += 1
+            return terms[0]
 
         return cls(self._task(coro()))
 
     def to_bits(self, a: SecureNumber, l=None):
-        """Secure bit decomposition (ideal-functionality dealer).
+        """Secure bit decomposition: l secure bits, LSB first, of the signed
+        representative in two's complement (parity with MPyC's to_bits usage
+        in the gadgets, reference circuit_builder.py:320-326).
 
-        Returns l secure bits, LSB first, of the signed representative in
-        two's complement (parity with MPyC's to_bits usage in the gadgets,
-        reference circuit_builder.py:320-326).
-        """
+        SecInt types run the real masked-subtraction protocol
+        (:meth:`_to_bits_protocol`); explicit-l calls on SecFld fall back to
+        the hub's ideal-functionality dealer."""
         cls = type(a)
         l = l if l is not None else cls.bit_length
         base = ("tobits", self._next_pc())
 
         async def coro():
             av = await a._value()
+            kappa_room = cls.field.modulus.bit_length() - l - 2
+            if kappa_room >= 8:
+                return await self._to_bits_protocol(base, av, cls.field, l)
 
             def fn(secrets):
                 v = int(secrets[0])  # signed representative

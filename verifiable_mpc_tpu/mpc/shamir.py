@@ -48,3 +48,35 @@ def recombine_at_zero(field, shares):
     for s, lam in zip(shares, vec):
         acc = (acc + int(s) * lam) % p
     return field(acc)
+
+
+def sqrt_mod(a: int, p: int) -> int:
+    """Canonical square root of a quadratic residue mod odd prime p
+    (Tonelli-Shanks; the smaller of the two roots, so every party computes
+    the same value from the same public input)."""
+    a %= p
+    if a == 0:
+        return 0
+    assert pow(a, (p - 1) // 2, p) == 1, "not a quadratic residue"
+    if p % 4 == 3:
+        r = pow(a, (p + 1) // 4, p)
+        return min(r, p - r)
+    # write p - 1 = q * 2^s with q odd
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    # any quadratic non-residue z (deterministic scan keeps parties in sync)
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, p), pow(a, q, p), pow(a, (q + 1) // 2, p)
+    while t != 1:
+        t2, i = t, 0
+        while t2 != 1:
+            t2 = t2 * t2 % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        t, r = t * c % p, r * b % p
+    return min(r, p - r)
