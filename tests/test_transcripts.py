@@ -175,3 +175,51 @@ def test_cross_backend_proof_verifies():
         dispatch._MSM_BACKENDS.update(saved[0])
         dispatch._FOLD_BACKENDS.update(saved[1])
         dispatch._BATCH_EXP_BACKENDS.update(saved[2])
+
+
+def test_hash_fast_path_byte_identity(monkeypatch):
+    """The homogeneous-list fast encoder must emit byte-identical streams
+    to the generic per-item path for every supported element type."""
+    import random
+
+    from verifiable_mpc_tpu import serialization as ser
+    from verifiable_mpc_tpu.ac20.pivot import AffineForm, LinearForm
+    from verifiable_mpc_tpu.groups.bn256 import ORDER as BNO, BNPoint
+    from verifiable_mpc_tpu.groups.edwards import ELL, EdwardsPoint
+
+    r = random.Random(5)
+    gf = GF(ELL)
+    ge = EdwardsPoint.generator
+    gb = BNPoint.generator
+    ed_pts = [ge ** r.randrange(1, ELL) for _ in range(5)]
+    cases = [
+        [r.randrange(-(1 << 300), 1 << 300) for _ in range(50)],
+        [gf(r.randrange(ELL)) for _ in range(50)],  # signed reprs
+        [gf(0), gf(1), gf(ELL - 1), gf(ELL // 2), gf(ELL // 2 + 1)],
+        ed_pts + [EdwardsPoint.identity],
+        [p * p for p in ed_pts],  # unnormalized coordinates round-trip
+        [gb ** r.randrange(1, BNO) for _ in range(4)] + [BNPoint.identity],
+        [gf(3), 7, "mixed"],  # inhomogeneous: falls back
+        [[gf(1), gf(2)], [3, 4], LinearForm([gf(5), gf(6)])],  # nested
+        [],
+        [True, False, None],
+    ]
+
+    def digest(obj):
+        h = hashlib.sha256()
+        ser.hash_into(h, obj)
+        return h.hexdigest()
+
+    fast = [digest(c) for c in cases]
+    monkeypatch.setattr(ser, "_hash_list_fast", lambda buf, obj: False)
+    slow = [digest(c) for c in cases]
+    assert fast == slow
+
+
+def test_fiat_shamir_hash_suffixed_matches_separate():
+    gf = GF(EllipticCurve("Ed25519", "projective").order)
+    base = [gf(7), [gf(1), gf(2), gf(3)], "tag"]
+    sufs = [[0, "First hash of compressed pivot"], [1, "First hash of compressed pivot"]]
+    got = pivot.fiat_shamir_hash_suffixed(base, sufs, gf.order)
+    want = [pivot.fiat_shamir_hash(base + s, gf.order) for s in sufs]
+    assert got == want

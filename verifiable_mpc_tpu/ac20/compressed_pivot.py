@@ -118,11 +118,13 @@ def _first_hash(t, A, generators, P, L, y, order):
     else:
         input_list = [t, A, generators, P, L, y]
     logger_cp_hin.debug("protocol_5: input_list=\n%s", input_list)
-    c0 = pivot.fiat_shamir_hash(
-        input_list + [0] + ["First hash of compressed pivot"], order
-    )
-    c1 = pivot.fiat_shamir_hash(
-        input_list + [1] + ["First hash of compressed pivot"], order
+    c0, c1 = pivot.fiat_shamir_hash_suffixed(
+        input_list,
+        [
+            [0, "First hash of compressed pivot"],
+            [1, "First hash of compressed pivot"],
+        ],
+        order,
     )
     logger_cp_hout.debug("After hash, hash=\n%s, %s", c0, c1)
     return c0, c1

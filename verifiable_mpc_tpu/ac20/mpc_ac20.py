@@ -206,11 +206,13 @@ async def protocol_5_prover(generators, P, L, y, x, gamma, gf):
     else:
         input_list = [t, A, generators, P, L, y]
     logger_cs_mpc_hin.debug("protocol_5_prover: input_list=\n%s", input_list)
-    c0 = pivot.fiat_shamir_hash(
-        input_list + [0] + ["First hash of compressed pivot"], order
-    )
-    c1 = pivot.fiat_shamir_hash(
-        input_list + [1] + ["First hash of compressed pivot"], order
+    c0, c1 = pivot.fiat_shamir_hash_suffixed(
+        input_list,
+        [
+            [0, "First hash of compressed pivot"],
+            [1, "First hash of compressed pivot"],
+        ],
+        order,
     )
     logger_cs_mpc_hout.debug("After hash, hash=\n%s, %s", c0, c1)
 

@@ -158,6 +158,16 @@ def fiat_shamir_hash(input_list, order):
     return int.from_bytes(h.digest(), "little") % order
 
 
+def fiat_shamir_hash_suffixed(input_list, suffixes, order):
+    """[fiat_shamir_hash(input_list + s, order) for s in suffixes], hashing
+    the shared prefix once (byte-identical transcripts; the prefix of e.g.
+    Protocol 5's c0/c1 pair carries the whole generator vector)."""
+    hashers = serialization.hash_list_with_suffixes(
+        hashlib.sha256, input_list, suffixes
+    )
+    return [int.from_bytes(h.digest(), "little") % order for h in hashers]
+
+
 def vector_commitment(x, gamma, g, h):
     """Pedersen vector commitment h^gamma * prod g_i^{x_i} (AC20 Def. 1).
 

@@ -185,6 +185,69 @@ class _HashSink:
             self._buf = bytearray()
 
 
+_PACK_I = struct.Struct(">I").pack
+
+
+def _int_raw(v: int) -> bytes:
+    return v.to_bytes((v.bit_length() + 8) // 8 or 1, "big", signed=True)
+
+
+def _hash_list_fast(buf, obj) -> bool:
+    """Tight-loop encoder for homogeneous lists (the transcript hot spot:
+    generator vectors and form-coefficient vectors with 2^14+ entries).
+    Emits BYTE-IDENTICAL output to the generic per-item path — pinned by
+    the golden-transcript tests — but skips the per-item dispatch chain.
+    Writes nothing and returns False for inhomogeneous/unhandled lists."""
+    t0 = type(obj[0])
+    out = bytearray()
+    if t0 is int:
+        for v in obj:
+            if type(v) is not int:
+                return False
+            raw = _int_raw(v)
+            out += b"\x01"
+            out += _PACK_I(len(raw))
+            out += raw
+    elif t0 is EdwardsPoint:
+        for p in obj:
+            if type(p) is not EdwardsPoint:
+                return False
+            out += b"\x12"  # T_ED
+            for v in (p.x, p.y, p.z, p.t):
+                raw = _int_raw(v)
+                out += _PACK_I(len(raw))
+                out += raw
+    elif issubclass(t0, FiniteFieldElement) and not issubclass(
+        t0, QuadraticExtensionElement
+    ):
+        signed = t0.is_signed
+        half = t0.modulus // 2
+        modulus = t0.modulus
+        for e in obj:
+            if type(e) is not t0:
+                return False
+            v = e.value
+            if signed and v > half:
+                v -= modulus
+            raw = _int_raw(v)
+            out += b"\x01"  # T_INT (field elements hash as signed ints)
+            out += _PACK_I(len(raw))
+            out += raw
+    elif t0 is BNPoint:
+        for p in obj:
+            if type(p) is not BNPoint:
+                return False
+            out += b"\x13"  # T_BN
+            for v in (p.x.value, p.y.value, p.z.value):
+                raw = _int_raw(v)
+                out += _PACK_I(len(raw))
+                out += raw
+    else:
+        return False
+    buf.write(out)
+    return True
+
+
 def _hash_obj(buf, obj):
     """Canonical encoding for Fiat-Shamir hashing.
 
@@ -204,6 +267,8 @@ def _hash_obj(buf, obj):
     elif isinstance(obj, (list, tuple)):
         buf.write(bytes([T_LIST if isinstance(obj, list) else T_TUPLE]))
         buf.write(struct.pack(">I", len(obj)))
+        if obj and _hash_list_fast(buf, obj):
+            return
         for item in obj:
             _hash_obj(buf, item)
     elif isinstance(obj, dict):
@@ -226,6 +291,34 @@ def hash_into(hasher, obj):
     sink = _HashSink(hasher)
     _hash_obj(sink, obj)
     sink.flush()
+
+
+def hash_list_with_suffixes(hasher_factory, base_items, suffixes):
+    """Hashers for ``base_items + suffix`` (one per suffix, all suffixes the
+    same length), serializing the expensive shared prefix ONCE and forking
+    the hash state with ``.copy()``.
+
+    Byte-identical to hashing each concatenated list separately — used for
+    challenge pairs like Protocol 5's c0/c1, whose shared prefix contains
+    the full generator vector and linear form."""
+    ns = len(suffixes[0])
+    assert all(len(s) == ns for s in suffixes)
+    h = hasher_factory()
+    sink = _HashSink(h)
+    sink.write(bytes([T_LIST]))
+    sink.write(struct.pack(">I", len(base_items) + ns))
+    for item in base_items:
+        _hash_obj(sink, item)
+    sink.flush()
+    out = []
+    for suffix in suffixes:
+        h2 = h.copy()
+        sink2 = _HashSink(h2)
+        for item in suffix:
+            _hash_obj(sink2, item)
+        sink2.flush()
+        out.append(h2)
+    return out
 
 
 def _decode(buf):
