@@ -39,8 +39,10 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
 
     Imports jax lazily; host-only deployments never pay for it.
     """
+    from . import native
     from .ops import msm, ntt
 
+    native.enable_scalar_tier()  # host-side vector mod-p glue
     msm.register(min_msm_batch)
     if fused:
         from .ops import bn_pallas, msm_pallas

@@ -15,6 +15,7 @@ from .. import rng
 from . import circuit_builder as cb
 from . import compressed_pivot
 from . import knowledge_of_exponent as koe
+from . import nullity
 from . import pivot
 from .circuit_sat_r1cs import (  # noqa: F401 (re-exports are part of the API)
     PivotChoice,
@@ -117,9 +118,9 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
     linform_g = cb.calculate_fg_form(circuit, wire=1, challenge=c, gf=gf)
     linform_h = cb.calculate_h_form(circuit, c, gf)
 
-    y1 = linform_f(z)
-    y2 = linform_g(z)
-    y3 = linform_h(z)
+    y1 = pivot.form_eval(linform_f, z, gf)
+    y2 = pivot.form_eval(linform_g, z, gf)
+    y3 = pivot.form_eval(linform_h, z, gf)
     assert y1 * y2 == y3
     proof["y1"] = y1
     proof["y2"] = y2
@@ -149,7 +150,7 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
     logger_cs2_hin.debug("protocol_8_cb prover (2): input_list=\n%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
     logger_cs2_hout.debug("After hash, hash=\n%s", rho)
-    L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
+    L = nullity.combine_forms_with_powers(lin_forms, rho, gf)
     proof["L"] = L
     return proof, z_commitment, L, z, gamma
 
@@ -202,7 +203,7 @@ def protocol_8_excl_pivot_verifier(proof, circuit, gf, use_koe=False):
     logger_cs2_hin.debug("protocol_8_cb verifier (2): input_list=\n%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
     logger_cs2_hout.debug("After hash, hash=\n%s", rho)
-    L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
+    L = nullity.combine_forms_with_powers(lin_forms, rho, gf)
 
     if not L == proof["L"]:
         verification["L_wellformed_from_Cfgh_forms"] = False
@@ -219,13 +220,13 @@ def circuit_sat_prover(generators, circuit, x, gf, pivot_choice=PivotChoice.comp
 
     if pivot_choice == PivotChoice.compressed:
         pivot_proof = compressed_pivot.protocol_5_prover(
-            generators, z_commitment, L, L(z), z, gamma, gf
+            generators, z_commitment, L, pivot.form_eval(L, z, gf), z, gamma, gf
         )
     elif pivot_choice == PivotChoice.pivot:
         g = generators["g"]
         h = generators["h"]
         pivot_proof = pivot.prove_linear_form_eval(
-            g, h, z_commitment, L, L(z), z, gamma, gf
+            g, h, z_commitment, L, pivot.form_eval(L, z, gf), z, gamma, gf
         )
     elif pivot_choice == PivotChoice.koe:
         L = proof["L"]

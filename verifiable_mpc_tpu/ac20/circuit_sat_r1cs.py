@@ -20,6 +20,7 @@ from ..tools import code_to_r1cs as c2r
 from ..tools import poly as qc
 from . import compressed_pivot
 from . import knowledge_of_exponent as koe
+from . import nullity
 from . import pivot
 from .recombine import _recombination_vectors
 from .setup_gens import PivotChoice, create_generators  # noqa: F401 (re-export)
@@ -415,9 +416,9 @@ def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
         r1cs, c, varnames, flatcode, mul_indices_of_flatcode, n, m, gf
     )
 
-    y1 = linform_f(z)
-    y2 = linform_g(z)
-    y3 = linform_h(z)
+    y1 = pivot.form_eval(linform_f, z, gf)
+    y2 = pivot.form_eval(linform_g, z, gf)
+    y3 = pivot.form_eval(linform_h, z, gf)
     assert y1 * y2 == y3
     proof["y1"] = y1
     proof["y2"] = y2
@@ -454,7 +455,7 @@ def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
     logger_cs_hin.debug("protocol_8 prover (2): input_list=%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
     logger_cs_hout.debug("After hash, hash=\n%s", rho)
-    L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
+    L = nullity.combine_forms_with_powers(lin_forms, rho, gf)
     proof["L"] = L
     return proof, z_commitment, L, z, gamma
 
@@ -516,7 +517,7 @@ def protocol_8_excl_pivot_verifier(proof, code, gf, use_koe=False):
     logger_cs_hin.debug("protocol_8 verifier (2): input_list=%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
     logger_cs_hout.debug("After hash, hash=\n%s", rho)
-    L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
+    L = nullity.combine_forms_with_powers(lin_forms, rho, gf)
 
     if not L == proof["L"]:
         verification["L_wellformed_from_Cfgh_forms"] = False
@@ -533,13 +534,13 @@ def circuit_sat_prover(generators, code, x, gf, pivot_choice=PivotChoice.compres
 
     if pivot_choice == PivotChoice.compressed:
         pivot_proof = compressed_pivot.protocol_5_prover(
-            generators, z_commitment, L, L(z), z, gamma, gf
+            generators, z_commitment, L, pivot.form_eval(L, z, gf), z, gamma, gf
         )
     elif pivot_choice == PivotChoice.pivot:
         g = generators["g"]
         h = generators["h"]
         pivot_proof = pivot.prove_linear_form_eval(
-            g, h, z_commitment, L, L(z), z, gamma, gf
+            g, h, z_commitment, L, pivot.form_eval(L, z, gf), z, gamma, gf
         )
     elif pivot_choice == PivotChoice.koe:
         L = proof["L"]

@@ -18,6 +18,7 @@ import logging
 
 from .. import rng
 from ..groups import is_elliptic
+from ..ops import modvec
 from ..ops.dispatch import fold_generators
 from . import pivot
 
@@ -49,13 +50,35 @@ def _fold_form(L_tilde, c, gf):
         L_tilde.constant == 0
     ), "Next line assumes L_tilde is a linear form, not affine form."
     half = len(L_tilde.coeffs) // 2
+    folded = modvec.axpy_mixed(c, L_tilde.coeffs[:half], L_tilde.coeffs[half:], gf)
+    if folded is not None:
+        return pivot.LinearForm(folded)
     c_l = [coeff * gf(c) for coeff in L_tilde.coeffs[:half]]
     return pivot.LinearForm(c_l) + pivot.LinearForm(L_tilde.coeffs[half:])
+
+
+def _eval_masked(L_tilde, vals, side, half, gf):
+    """L_tilde([0]*half + vals) / L_tilde(vals + [0]*half) without
+    materializing the zero-padded vector (reference :41-45)."""
+    coeffs = L_tilde.coeffs[half:] if side == "r" else L_tilde.coeffs[:half]
+    y = modvec.dot(coeffs, vals, gf)
+    if y is not None:
+        return y
+    if side == "r":
+        return L_tilde([0] * half + list(vals))
+    return L_tilde(list(vals) + [0] * half)
 
 
 def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0):
     """Prover of Protocol 4, iterative (reference :29-86)."""
     proof = {} if proof is None else proof
+    from . import pivot_native
+
+    res = pivot_native.try_protocol_4_prover(
+        g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i
+    )
+    if res is not None:
+        return res
     order = k.order
     while True:
         half = len(g_hat) // 2
@@ -63,10 +86,10 @@ def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0):
         z_hat_l, z_hat_r = z_hat[:half], z_hat[half:]
         logger_cp.debug("Calculate A_i, B_i.")
         A = pivot.vector_commitment(
-            z_hat_l, int(L_tilde([0] * half + z_hat_l)), g_hat_r, k
+            z_hat_l, int(_eval_masked(L_tilde, z_hat_l, "r", half, gf)), g_hat_r, k
         )
         B = pivot.vector_commitment(
-            z_hat_r, int(L_tilde(z_hat_r + [0] * half)), g_hat_l, k
+            z_hat_r, int(_eval_masked(L_tilde, z_hat_r, "l", half, gf)), g_hat_l, k
         )
         proof["A" + str(round_i)] = A
         proof["B" + str(round_i)] = B
@@ -77,7 +100,9 @@ def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0):
         g_hat = fold_generators(g_hat_l, g_hat_r, c)
         Q = A * (Q ** c) * (B ** (c ** 2))
         L_tilde = _fold_form(L_tilde, c, gf)
-        z_hat = [z_hat_l[i] + c * z_hat_r[i] for i in range(half)]
+        z_hat = modvec.axpy(c, z_hat_r, z_hat_l, gf)
+        if z_hat is None:
+            z_hat = [z_hat_l[i] + c * z_hat_r[i] for i in range(half)]
 
         if len(z_hat) <= 2:
             proof["z_prime"] = z_hat
@@ -87,6 +112,13 @@ def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0):
 
 def protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i=0):
     """Verifier of Protocol 4, iterative (reference :148-202)."""
+    from . import pivot_native
+
+    res = pivot_native.try_protocol_4_verifier(
+        g_hat, k, Q, L_tilde, gf, proof, round_i
+    )
+    if res is not None:
+        return res
     order = k.order
     while True:
         half = len(g_hat) // 2
@@ -109,6 +141,16 @@ def protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i=0):
             logger_cp.debug("Q_prime= %s", Q)
             return Q_check == Q
         round_i += 1
+
+
+def _scaled_l_tilde(L, c1, gf):
+    """L_tilde = LinearForm(L.coeffs + [0]) * c1 (reference :133-134,
+    :223-224), with the scaling routed through the native vector kernel
+    when the coefficients are field elements."""
+    scaled = modvec.scale(c1, list(L.coeffs) + [0], gf, zero_ints_ok=True)
+    if scaled is not None:
+        return pivot.LinearForm(scaled)
+    return pivot.LinearForm(list(L.coeffs) + [0]) * c1
 
 
 def _first_hash(t, A, generators, P, L, y, order):
@@ -145,21 +187,31 @@ def protocol_5_prover(generators, P, L, y, x, gamma, gf):
     r = [rng.randrange(order) for _ in range(n)]
     rho = rng.randrange(order)
     logger_cp.debug("Calculate t, A.")
-    t = L(r)
+    t = modvec.dot(L.coeffs, r, gf)
+    if t is None:
+        t = L(r)
     A = pivot.vector_commitment(r, rho, g, h)
     proof["t"] = t
     proof["A"] = A
 
     c0, c1 = _first_hash(t, A, generators, P, L, y, order)
 
-    z = [c0 * x_i + r[i] for i, x_i in enumerate(x)]
+    z = modvec.axpy(c0, x, r, gf)
+    if z is None:
+        z = [c0 * x_i + r[i] for i, x_i in enumerate(x)]
     phi = gf(c0 * gamma + rho)
     z_hat = z + [phi]
     g_hat = g + [h]
     logger_cp.debug("Calculate Q.")
     Q = A * (P ** c0) * (k ** int(c1 * (c0 * y + t)))
-    L_tilde = pivot.LinearForm(L.coeffs + [0]) * c1
-    assert L(z) * c1 == L_tilde(z_hat)
+    L_tilde = _scaled_l_tilde(L, c1, gf)
+    lz = modvec.dot(L.coeffs, z, gf)
+    if lz is None:
+        lz = L(z)
+    ltz = modvec.dot(L_tilde.coeffs, z_hat, gf)
+    if ltz is None:
+        ltz = L_tilde(z_hat)
+    assert lz * c1 == ltz
 
     return protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof)
 
@@ -179,6 +231,6 @@ def protocol_5_verifier(generators, P, L, y, proof, gf):
     g_hat = g + [h]
     logger_cp.debug("Calculate Q.")
     Q = A * (P ** c0) * (k ** int(c1 * (c0 * y + t)))
-    L_tilde = pivot.LinearForm(L.coeffs + [0]) * c1
+    L_tilde = _scaled_l_tilde(L, c1, gf)
 
     return protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof)

@@ -23,6 +23,7 @@ from ..mpc.secgroups import repeat_public_base_public_output as secure_repeat
 from ..groups import is_elliptic
 from ..tools import poly as qc
 from . import circuit_sat_r1cs as cs
+from . import nullity
 from . import pivot
 from .pivot import _int
 from .recombine import recombine, _recombination_vectors  # noqa: F401
@@ -341,7 +342,7 @@ async def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
     logger_cs_mpc_hin.debug("protocol_8 mpc prover (2): input_list=%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
     logger_cs_mpc_hout.debug("After hash, hash=\n%s", rho)
-    L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
+    L = nullity.combine_forms_with_powers(lin_forms, rho, gf)
     proof["L"] = L
     return proof, z_commitment, L, z, gamma
 

@@ -13,6 +13,7 @@ import logging
 from ..mpc.runtime import mpc
 from . import circuit_builder as cb
 from . import circuit_sat_r1cs as cs
+from . import nullity
 from . import pivot
 from .mpc_ac20 import (  # noqa: F401 (re-exports are part of the API)
     create_generators,
@@ -132,7 +133,7 @@ async def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False
     logger_cs_mpc_cb_hin.debug("protocol_8 mpc cb prover (2): input_list=%s", input_list)
     rho = pivot.fiat_shamir_hash(input_list, gf.order)
     logger_cs_mpc_cb_hout.debug("After hash, hash=\n%s", rho)
-    L = sum((linform_i) * (rho ** i) for i, linform_i in enumerate(lin_forms))
+    L = nullity.combine_forms_with_powers(lin_forms, rho, gf)
     proof["L"] = L
     return proof, z_commitment, L, z, gamma
 

@@ -19,6 +19,7 @@ import logging
 from .. import rng, serialization
 from ..fields import FiniteFieldElement
 from ..groups import is_elliptic
+from ..ops import modvec
 from ..ops.dispatch import multiexp, list_mul  # noqa: F401 (list_mul is API)
 
 logger_piv = logging.getLogger("pivot")
@@ -138,6 +139,29 @@ def _int(value):
     if getattr(type(value), "is_secure_object", False):
         return value
     raise NotImplementedError(f"cannot convert {type(value)}")
+
+
+def form_eval(L, values, gf):
+    """L(values), with the O(n) scalar accumulation routed through the
+    native vector kernel when types allow (falls back to the plain Python
+    evaluation otherwise — secure shares, mixed fields, int-typed
+    results).  Value- and type-identical to ``L(values)``: the native dot
+    only engages when the Python accumulation would produce a reduced gf
+    element, and the constant is added back with the same coercion rules."""
+    constant = L.constant
+    if not isinstance(constant, (int, FiniteFieldElement)):
+        return L(values)  # secure shares etc.
+    if (
+        isinstance(constant, FiniteFieldElement)
+        and type(constant).modulus != gf.modulus
+    ):
+        return L(values)
+    y = modvec.dot(L.coeffs, values, gf)
+    if y is None:
+        return L(values)
+    if isinstance(constant, int) and constant == 0:
+        return y
+    return y + constant
 
 
 def fiat_shamir_hash(input_list, order):

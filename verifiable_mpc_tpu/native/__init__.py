@@ -24,11 +24,26 @@ _SRCS = [
     os.path.join(_HERE, "ed25519.cc"),
     os.path.join(_HERE, "bn256.cc"),
     os.path.join(_HERE, "ntt.cc"),
+    os.path.join(_HERE, "modvec.cc"),
 ]
 _SO = os.path.join(_HERE, "_vmpc_native.so")
 
 _lib = None
 _tried = False
+
+# Host scalar tier (vector mod-p ops, resident pivot engine): explicit
+# opt-in so the pure-python mode stays pure.  enable_native()/enable_tpu()
+# turn it on; full dispatch registration additionally sets REGISTERED
+# (the resident engine requires it for proof-coordinate parity with the
+# generic loop's MSM backend).
+SCALAR_TIER = False
+REGISTERED = False
+
+
+def enable_scalar_tier():
+    global SCALAR_TIER
+    SCALAR_TIER = available()
+    return SCALAR_TIER
 
 
 def _build() -> bool:
@@ -81,6 +96,23 @@ def load():
         u64p,
         ctypes.c_uint64,
         u64p,
+    ]
+    lib.vmpc_modvec_dot.argtypes = [u64p, u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_modvec_axpy.argtypes = [
+        u64p, u64p, u64p, u64p, ctypes.c_uint64, u64p,
+    ]
+    lib.vmpc_modvec_scale.argtypes = [u64p, u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_modvec_weighted_sum.argtypes = [
+        u64p, u64p, u64p, ctypes.c_uint64, ctypes.c_uint64, u64p,
+    ]
+    lib.vmpc_modvec_hadamard.argtypes = [
+        u64p, u64p, u64p, ctypes.c_uint64, u64p,
+    ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.vmpc_ed_batch_normalize.argtypes = [u64p, ctypes.c_uint64]
+    lib.vmpc_ed_hash_encode.argtypes = [u64p, ctypes.c_uint64, u8p, u64p]
+    lib.vmpc_modvec_hash_encode_signed.argtypes = [
+        u64p, u64p, ctypes.c_uint64, u8p, u64p,
     ]
     _lib = lib
     return _lib
@@ -284,6 +316,190 @@ def bn2_batch_exp(base, exponents):
 
 
 # ---------------------------------------------------------------------------
+# vector modular arithmetic (Barrett, runtime <=256-bit modulus)
+# ---------------------------------------------------------------------------
+
+_MODVEC_CTX: dict = {}
+
+
+def _modvec_ctx(p: int):
+    """p[4] | mu[6] | r512[4] context buffer for modulus p (cached)."""
+    ctx = _MODVEC_CTX.get(p)
+    if ctx is None:
+        assert (1 << 192) <= p < (1 << 256), "modulus out of modvec range"
+        mu = (1 << 512) // p
+        r512 = (1 << 512) % p
+        buf = np.empty(14, dtype=np.uint64)
+        _int_to_u64x4(p, buf, 0)
+        mask = (1 << 64) - 1
+        for j in range(6):
+            buf[4 + j] = (mu >> (64 * j)) & mask
+        _int_to_u64x4(r512, buf, 10)
+        ctx = _MODVEC_CTX[p] = buf
+    return ctx
+
+
+def _ints_to_u64x4(xs, p) -> np.ndarray:
+    n = len(xs)
+    buf = bytearray(n * 32)
+    for i, x in enumerate(xs):
+        v = x if 0 <= x < p else x % p
+        buf[i * 32 : (i + 1) * 32] = v.to_bytes(32, "little")
+    return np.frombuffer(bytes(buf), dtype=np.uint64).reshape(n, 4)
+
+
+def _u64x4_to_ints(arr) -> list:
+    raw = np.ascontiguousarray(arr).tobytes()
+    return [
+        int.from_bytes(raw[i * 32 : (i + 1) * 32], "little")
+        for i in range(len(raw) // 32)
+    ]
+
+
+def mod_dot(a, b, p: int) -> int:
+    """sum(a_i * b_i) mod p over int lists."""
+    lib = load()
+    n = len(a)
+    if n == 0:
+        return 0
+    aa = _ints_to_u64x4(a, p)
+    bb = _ints_to_u64x4(b, p)
+    out = np.zeros(4, dtype=np.uint64)
+    lib.vmpc_modvec_dot(_u64p(_modvec_ctx(p)), _u64p(aa), _u64p(bb), n,
+                        _u64p(out))
+    return _u64x4_to_ints(out)[0]
+
+
+def mod_axpy(c: int, x, y, p: int) -> list:
+    """[(c*x_i + y_i) mod p]."""
+    lib = load()
+    n = len(x)
+    cc = _ints_to_u64x4([c], p)
+    xx = _ints_to_u64x4(x, p)
+    yy = _ints_to_u64x4(y, p)
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vmpc_modvec_axpy(_u64p(_modvec_ctx(p)), _u64p(cc), _u64p(xx),
+                         _u64p(yy), n, _u64p(out))
+    return _u64x4_to_ints(out)
+
+
+def mod_scale(c: int, x, p: int) -> list:
+    """[c*x_i mod p]."""
+    lib = load()
+    n = len(x)
+    cc = _ints_to_u64x4([c], p)
+    xx = _ints_to_u64x4(x, p)
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vmpc_modvec_scale(_u64p(_modvec_ctx(p)), _u64p(cc), _u64p(xx), n,
+                          _u64p(out))
+    return _u64x4_to_ints(out)
+
+
+def mod_weighted_sum(w, rows, p: int) -> list:
+    """[sum_i w_i * rows[i][j] mod p for j] — the nullity combine."""
+    lib = load()
+    s = len(rows)
+    n = len(rows[0])
+    ww = _ints_to_u64x4(w, p)
+    flat = []
+    for r in rows:
+        flat.extend(r)
+    rr = _ints_to_u64x4(flat, p)
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vmpc_modvec_weighted_sum(_u64p(_modvec_ctx(p)), _u64p(ww), _u64p(rr),
+                                 s, n, _u64p(out))
+    return _u64x4_to_ints(out)
+
+
+# ---------------------------------------------------------------------------
+# array-level primitives for the resident protocol engine (no Python-int
+# conversion: inputs/outputs stay u64 limb arrays across protocol rounds)
+# ---------------------------------------------------------------------------
+
+def _u8p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def ed_msm_arr(pts: np.ndarray, scalars: np.ndarray) -> np.ndarray:
+    """MSM over [n,16] plain-coord points and [n,4] scalars -> [16] point."""
+    lib = load()
+    out = np.zeros(16, dtype=np.uint64)
+    lib.vmpc_ed_msm(_u64p(pts), _u64p(scalars), len(pts), _u64p(out))
+    return out
+
+
+def ed_fold_arr(gl: np.ndarray, gr: np.ndarray, c4: np.ndarray) -> np.ndarray:
+    """[gl_i^c * gr_i] over [n,16] arrays; returns unnormalized [n,16]."""
+    lib = load()
+    n = len(gl)
+    out = np.empty((n, 16), dtype=np.uint64)
+    lib.vmpc_ed_fold(_u64p(gl), _u64p(gr), _u64p(c4), n, _u64p(out))
+    return out
+
+
+def ed_batch_normalize_arr(pts: np.ndarray) -> np.ndarray:
+    """In-place affine normalization of [n,16] plain-coord points."""
+    lib = load()
+    lib.vmpc_ed_batch_normalize(_u64p(pts), len(pts))
+    return pts
+
+
+def ed_hash_encode_arr(pts: np.ndarray) -> bytes:
+    """Canonical hash encoding (T_ED + 4 signed ints each) of [n,16]
+    normalized points — byte-identical to serialization._hash_list_fast
+    over the equivalent EdwardsPoint list."""
+    lib = load()
+    n = len(pts)
+    buf = np.empty(n * 149, dtype=np.uint8)
+    outlen = np.zeros(1, dtype=np.uint64)
+    lib.vmpc_ed_hash_encode(_u64p(pts), n, _u8p(buf), _u64p(outlen))
+    return buf[: int(outlen[0])].tobytes()
+
+
+def mod_hash_encode_signed_arr(vals: np.ndarray, p: int) -> bytes:
+    """Canonical hash encoding (T_INT, signed representative) of [n,4]
+    reduced field values — byte-identical to hashing the gf-element list."""
+    lib = load()
+    n = len(vals)
+    buf = np.empty(n * 38, dtype=np.uint8)
+    outlen = np.zeros(1, dtype=np.uint64)
+    lib.vmpc_modvec_hash_encode_signed(
+        _u64p(_modvec_ctx(p)), _u64p(vals), n, _u8p(buf), _u64p(outlen)
+    )
+    return buf[: int(outlen[0])].tobytes()
+
+
+def mod_dot_arr(a: np.ndarray, b: np.ndarray, p: int) -> int:
+    lib = load()
+    out = np.zeros(4, dtype=np.uint64)
+    lib.vmpc_modvec_dot(_u64p(_modvec_ctx(p)), _u64p(a), _u64p(b), len(a),
+                        _u64p(out))
+    return _u64x4_to_ints(out)[0]
+
+
+def mod_axpy_arr(c: int, x: np.ndarray, y: np.ndarray, p: int) -> np.ndarray:
+    lib = load()
+    n = len(x)
+    cc = _ints_to_u64x4([c], p)
+    out = np.empty((n, 4), dtype=np.uint64)
+    lib.vmpc_modvec_axpy(_u64p(_modvec_ctx(p)), _u64p(cc), _u64p(x), _u64p(y),
+                         n, _u64p(out))
+    return out
+
+
+def mod_hadamard(a, b, p: int) -> list:
+    """[a_i * b_i mod p]."""
+    lib = load()
+    n = len(a)
+    aa = _ints_to_u64x4(a, p)
+    bb = _ints_to_u64x4(b, p)
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vmpc_modvec_hadamard(_u64p(_modvec_ctx(p)), _u64p(aa), _u64p(bb), n,
+                             _u64p(out))
+    return _u64x4_to_ints(out)
+
+
+# ---------------------------------------------------------------------------
 # exact integer polynomial products (9-prime CRT NTT)
 # ---------------------------------------------------------------------------
 
@@ -327,8 +543,11 @@ def ntt_poly_mul_ints(a, b) -> list:
 def register(min_batch: int = 8):
     """Install the native library as the host dispatch backend for Ed25519
     and the BN256 curves."""
+    global REGISTERED
     if not available():
         return False
+    enable_scalar_tier()
+    REGISTERED = True
     from ..groups.bn256 import BNPoint, BNTwistPoint
     from ..groups.edwards import EdwardsPoint
     from ..ops import dispatch

@@ -12,6 +12,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -291,6 +294,24 @@ static void pt_scalar_mul(Pt &o, const Pt &p, const u64 *s) {
   pt_scalar_mul_wnaf(o, p, digits, len);
 }
 
+// a^(p-2) in Montgomery domain (Fermat inversion)
+static void fe_inv(Fe &o, const Fe &a) {
+  static const u64 PM2[4] = {0xffffffffffffffebULL, 0xffffffffffffffffULL,
+                             0xffffffffffffffffULL, 0x7fffffffffffffffULL};
+  Fe r;
+  fe_set(r, ONE_M);
+  for (int bit = 254; bit >= 0; bit--) {
+    Fe t;
+    fe_mul(t, r, r);
+    r = t;
+    if ((PM2[bit >> 6] >> (bit & 63)) & 1) {
+      fe_mul(t, r, a);
+      r = t;
+    }
+  }
+  o = r;
+}
+
 static void init_constants() {
   static bool done = false;
   if (done) return;
@@ -419,6 +440,93 @@ void vmpc_ed_fold(const u64 *gl, const u64 *gr, const u64 *c, u64 n, u64 *out) {
     pt_add(tmp, s, r);
     store_pt(out + i * 16, tmp);
   }
+}
+
+// in-place affine normalization of n plain-domain points: x/z, y/z, 1, x*y/z^2
+// (matches groups/edwards.py EdwardsPoint.normalize / batch_normalize).
+// Montgomery's batch-inversion trick per OpenMP chunk.
+void vmpc_ed_batch_normalize(u64 *pts, u64 n) {
+  init_constants();
+#pragma omp parallel
+  {
+    int nthreads = 1, tid = 0;
+#ifdef _OPENMP
+    nthreads = omp_get_num_threads();
+    tid = omp_get_thread_num();
+#endif
+    u64 chunk = (n + nthreads - 1) / nthreads;
+    u64 lo = (u64)tid * chunk;
+    u64 hi = lo + chunk < n ? lo + chunk : n;
+    if (lo < hi) {
+      u64 m = hi - lo;
+      std::vector<Fe> zs(m), prefix(m + 1);
+      for (u64 i = 0; i < m; i++) {
+        Fe tmp;
+        memcpy(tmp.v, pts + (lo + i) * 16 + 8, 32);
+        fe_to_mont(zs[i], tmp);
+      }
+      fe_set(prefix[0], ONE_M);
+      for (u64 i = 0; i < m; i++) fe_mul(prefix[i + 1], prefix[i], zs[i]);
+      Fe inv;
+      fe_inv(inv, prefix[m]);
+      for (u64 i = m; i-- > 0;) {
+        Fe zinv, t;
+        fe_mul(zinv, prefix[i], inv);
+        fe_mul(t, inv, zs[i]);
+        inv = t;
+        Fe x, y, xn, yn, tn;
+        memcpy(x.v, pts + (lo + i) * 16 + 0, 32);
+        fe_to_mont(x, x);
+        memcpy(y.v, pts + (lo + i) * 16 + 4, 32);
+        fe_to_mont(y, y);
+        fe_mul(xn, x, zinv);
+        fe_mul(yn, y, zinv);
+        fe_mul(tn, xn, yn);
+        Fe plain;
+        fe_from_mont(plain, xn);
+        memcpy(pts + (lo + i) * 16 + 0, plain.v, 32);
+        fe_from_mont(plain, yn);
+        memcpy(pts + (lo + i) * 16 + 4, plain.v, 32);
+        memset(pts + (lo + i) * 16 + 8, 0, 32);
+        pts[(lo + i) * 16 + 8] = 1;
+        fe_from_mont(plain, tn);
+        memcpy(pts + (lo + i) * 16 + 12, plain.v, 32);
+      }
+    }
+  }
+}
+
+// serialization bytes for n normalized plain-domain points: per point the
+// canonical hash encoding 0x12 (T_ED) then for x,y,z,t a 4-byte big-endian
+// length and the value as a minimal signed big-endian int (coords are in
+// [0, p), hence non-negative: nbytes = floor(bitlen/8) + 1).
+// out must hold >= n * 149 bytes; *outlen receives the bytes written.
+void vmpc_ed_hash_encode(const u64 *pts, u64 n, unsigned char *out,
+                         u64 *outlen) {
+  unsigned char *w = out;
+  for (u64 i = 0; i < n; i++) {
+    *w++ = 0x12;
+    for (int j = 0; j < 4; j++) {
+      const u64 *v = pts + i * 16 + j * 4;
+      int bitlen = 0;
+      for (int k = 3; k >= 0; k--) {
+        if (v[k]) {
+          bitlen = 64 * k + 64 - __builtin_clzll(v[k]);
+          break;
+        }
+      }
+      int nbytes = bitlen / 8 + 1;
+      w[0] = 0;
+      w[1] = 0;
+      w[2] = (unsigned char)(nbytes >> 8);
+      w[3] = (unsigned char)(nbytes & 0xff);
+      w += 4;
+      for (int b = nbytes - 1; b >= 0; b--) {
+        *w++ = (unsigned char)(v[b >> 3] >> ((b & 7) * 8));
+      }
+    }
+  }
+  *outlen = (u64)(w - out);
 }
 
 // pairwise ops for testing: out = a + b

@@ -1,0 +1,288 @@
+// Vector modular arithmetic over a runtime <=256-bit modulus (Barrett).
+//
+// The reference evaluates linear forms and folds witness vectors with
+// per-element Python bigint loops (/root/reference/verifiable_mpc/ac20/
+// pivot.py:89-96, compressed_pivot.py:70-84).  This tier provides the
+// speed-of-light host path for those O(n)-scalar protocol steps: dot
+// products, axpy folds, scalar scaling and the nullity weighted combine,
+// all over 4x64-bit little-endian limbs with a modulus in [2^192, 2^256).
+//
+// Layout: values n*4 u64; context = p[4] | mu[6] | r512[4] where
+// mu = floor(2^512 / p) and r512 = 2^512 mod p (precomputed host-side).
+
+#include <cstring>
+
+typedef unsigned long long u64;
+typedef __uint128_t u128;
+
+namespace {
+
+// a*b -> 8 limbs (schoolbook 4x4)
+static inline void mul_4x4(const u64 *a, const u64 *b, u64 *o) {
+  u64 r[8] = {0};
+  for (int i = 0; i < 4; i++) {
+    u64 carry = 0;
+    for (int j = 0; j < 4; j++) {
+      u128 t = (u128)a[i] * b[j] + r[i + j] + carry;
+      r[i + j] = (u64)t;
+      carry = (u64)(t >> 64);
+    }
+    r[i + 4] = carry;
+  }
+  std::memcpy(o, r, sizeof(r));
+}
+
+// o += a over `n` limbs; returns carry-out
+static inline u64 add_n(u64 *o, const u64 *a, int n) {
+  u64 carry = 0;
+  for (int i = 0; i < n; i++) {
+    u128 t = (u128)o[i] + a[i] + carry;
+    o[i] = (u64)t;
+    carry = (u64)(t >> 64);
+  }
+  return carry;
+}
+
+// o = a - b over n limbs; returns borrow-out
+static inline u64 sub_n(u64 *o, const u64 *a, const u64 *b, int n) {
+  u64 borrow = 0;
+  for (int i = 0; i < n; i++) {
+    u128 t = (u128)a[i] - b[i] - borrow;
+    o[i] = (u64)t;
+    borrow = (u64)(t >> 64) & 1;  // high half is 0 or all-ones
+  }
+  return borrow;
+}
+
+static inline int cmp_n(const u64 *a, const u64 *b, int n) {
+  for (int i = n - 1; i >= 0; i--) {
+    if (a[i] != b[i]) return a[i] < b[i] ? -1 : 1;
+  }
+  return 0;
+}
+
+// Barrett reduction (HAC 14.42, b=2^64, k=4): x (8 limbs, < 2^512) mod p.
+static void barrett(const u64 *ctx, const u64 *x, u64 *out) {
+  const u64 *p = ctx;
+  const u64 *mu = ctx + 4;
+  // q1 = x >> 64*(k-1) -> limbs 3..7 (5 limbs)
+  const u64 *q1 = x + 3;
+  // q2 = q1 * mu (5 x 6 -> up to 11 limbs)
+  u64 q2[11] = {0};
+  for (int i = 0; i < 5; i++) {
+    u64 carry = 0;
+    for (int j = 0; j < 6; j++) {
+      u128 t = (u128)q1[i] * mu[j] + q2[i + j] + carry;
+      q2[i + j] = (u64)t;
+      carry = (u64)(t >> 64);
+    }
+    q2[i + 6] = carry;
+  }
+  // q3 = q2 >> 64*(k+1) -> limbs 5..10 (6 limbs)
+  const u64 *q3 = q2 + 5;
+  // r1 = x mod b^(k+1) (5 limbs)
+  u64 r1[5];
+  std::memcpy(r1, x, 5 * sizeof(u64));
+  // r2 = (q3 * p) mod b^(k+1) (low 5 limbs of 6x4 product)
+  u64 r2[5] = {0};
+  for (int i = 0; i < 5; i++) {
+    u64 carry = 0;
+    for (int j = 0; j < 4 && i + j < 5; j++) {
+      u128 t = (u128)q3[i] * p[j] + r2[i + j] + carry;
+      r2[i + j] = (u64)t;
+      carry = (u64)(t >> 64);
+    }
+    if (i + 4 < 5) r2[i + 4] += carry;
+  }
+  // r = r1 - r2 mod b^(k+1)
+  u64 r[5];
+  if (sub_n(r, r1, r2, 5)) {
+    // add b^(k+1): nothing to do beyond the implicit wraparound of sub_n
+    // (two's-complement wrap over 5 limbs IS the mod-b^(k+1) result)
+  }
+  // at most two conditional subtracts of p
+  u64 pe[5] = {p[0], p[1], p[2], p[3], 0};
+  for (int it = 0; it < 4; it++) {
+    if (cmp_n(r, pe, 5) < 0) break;
+    sub_n(r, r, pe, 5);
+  }
+  std::memcpy(out, r, 4 * sizeof(u64));
+}
+
+// (a*b) mod p, a,b < p
+static inline void mulmod(const u64 *ctx, const u64 *a, const u64 *b,
+                          u64 *out) {
+  u64 prod[8];
+  mul_4x4(a, b, prod);
+  barrett(ctx, prod, out);
+}
+
+// (a+b) mod p, a,b < p
+static inline void addmod(const u64 *ctx, const u64 *a, const u64 *b,
+                          u64 *out) {
+  u64 t[4];
+  u64 carry = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 s = (u128)a[i] + b[i] + carry;
+    t[i] = (u64)s;
+    carry = (u64)(s >> 64);
+  }
+  if (carry || cmp_n(t, ctx, 4) >= 0) sub_n(t, t, ctx, 4);
+  std::memcpy(out, t, 4 * sizeof(u64));
+}
+
+// 8-limb accumulator with wrap counter: acc += prod8, wraps counted in c.
+struct Acc512 {
+  u64 acc[8];
+  u64 wraps;
+  void init() {
+    std::memset(acc, 0, sizeof(acc));
+    wraps = 0;
+  }
+  inline void add(const u64 *prod8) { wraps += add_n(acc, prod8, 8); }
+  // fold into 4-limb residue: Barrett(acc) + wraps * (2^512 mod p)
+  void reduce(const u64 *ctx, u64 *out) const {
+    u64 base[4];
+    barrett(ctx, acc, base);
+    if (wraps) {
+      const u64 *r512 = ctx + 10;
+      u64 w4[4] = {wraps, 0, 0, 0};
+      u64 prod[8];
+      mul_4x4(w4, r512, prod);
+      u64 wred[4];
+      barrett(ctx, prod, wred);
+      addmod(ctx, base, wred, out);
+    } else {
+      std::memcpy(out, base, 4 * sizeof(u64));
+    }
+  }
+  void merge(const Acc512 &o) {
+    wraps += o.wraps + add_n(acc, o.acc, 8);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// out[0..3] = sum_i a[i]*b[i] mod p
+void vmpc_modvec_dot(const u64 *ctx, const u64 *a, const u64 *b, u64 n,
+                     u64 *out) {
+  Acc512 acc;
+  acc.init();
+#pragma omp parallel if (n >= 4096)
+  {
+    Acc512 local;
+    local.init();
+    u64 prod[8];
+#pragma omp for nowait
+    for (long long i = 0; i < (long long)n; i++) {
+      mul_4x4(a + 4 * i, b + 4 * i, prod);
+      local.add(prod);
+    }
+#pragma omp critical
+    acc.merge(local);
+  }
+  acc.reduce(ctx, out);
+}
+
+// out[i] = (c*x[i] + y[i]) mod p
+void vmpc_modvec_axpy(const u64 *ctx, const u64 *c, const u64 *x,
+                      const u64 *y, u64 n, u64 *out) {
+#pragma omp parallel for if (n >= 2048)
+  for (long long i = 0; i < (long long)n; i++) {
+    u64 t[4];
+    mulmod(ctx, c, x + 4 * i, t);
+    addmod(ctx, t, y + 4 * i, out + 4 * i);
+  }
+}
+
+// out[i] = c*x[i] mod p
+void vmpc_modvec_scale(const u64 *ctx, const u64 *c, const u64 *x, u64 n,
+                       u64 *out) {
+#pragma omp parallel for if (n >= 2048)
+  for (long long i = 0; i < (long long)n; i++) {
+    mulmod(ctx, c, x + 4 * i, out + 4 * i);
+  }
+}
+
+// out[j] = sum_i w[i] * rows[i*n + j] mod p   (s rows of length n)
+void vmpc_modvec_weighted_sum(const u64 *ctx, const u64 *w, const u64 *rows,
+                              u64 s, u64 n, u64 *out) {
+#pragma omp parallel for if (n >= 512)
+  for (long long j = 0; j < (long long)n; j++) {
+    Acc512 acc;
+    acc.init();
+    u64 prod[8];
+    for (u64 i = 0; i < s; i++) {
+      mul_4x4(w + 4 * i, rows + 4 * (i * n + j), prod);
+      acc.add(prod);
+    }
+    acc.reduce(ctx, out + 4 * j);
+  }
+}
+
+// serialization bytes for n reduced field elements hashed as SIGNED ints
+// (the canonical transcript encoding: v > p/2 encodes as v - p).  Per
+// element: 0x01 (T_INT), 4-byte big-endian length, minimal signed
+// big-endian two's-complement bytes.  out >= n * 38; *outlen written.
+void vmpc_modvec_hash_encode_signed(const u64 *ctx, const u64 *vals, u64 n,
+                                    unsigned char *out, u64 *outlen) {
+  const u64 *p = ctx;
+  // half = p // 2
+  u64 half[4];
+  for (int i = 3; i >= 0; i--) half[i] = (p[i] >> 1) | (i < 3 ? (p[i + 1] << 63) : 0);
+  unsigned char *w = out;
+  for (u64 i = 0; i < n; i++) {
+    const u64 *v = vals + i * 4;
+    u64 mag[4];
+    bool neg = cmp_n(v, half, 4) > 0;  // v > p/2  ->  encode v - p (negative)
+    if (neg) {
+      sub_n(mag, p, v, 4);  // magnitude = p - v
+    } else {
+      std::memcpy(mag, v, 32);
+    }
+    int bitlen = 0;
+    for (int k = 3; k >= 0; k--) {
+      if (mag[k]) {
+        bitlen = 64 * k + 64 - __builtin_clzll(mag[k]);
+        break;
+      }
+    }
+    int nbytes = bitlen / 8 + 1;
+    *w++ = 0x01;
+    w[0] = 0;
+    w[1] = 0;
+    w[2] = (unsigned char)(nbytes >> 8);
+    w[3] = (unsigned char)(nbytes & 0xff);
+    w += 4;
+    if (neg) {
+      // two's complement of mag over nbytes bytes
+      u64 tc[5] = {~mag[0], ~mag[1], ~mag[2], ~mag[3], ~0ULL};
+      u64 carry = 1;
+      for (int k = 0; k < 5 && carry; k++) {
+        tc[k] += carry;
+        carry = tc[k] == 0 ? 1 : 0;
+      }
+      for (int b = nbytes - 1; b >= 0; b--) {
+        *w++ = (unsigned char)(tc[b >> 3] >> ((b & 7) * 8));
+      }
+    } else {
+      for (int b = nbytes - 1; b >= 0; b--) {
+        *w++ = (unsigned char)(mag[b >> 3] >> ((b & 7) * 8));
+      }
+    }
+  }
+  *outlen = (u64)(w - out);
+}
+
+// out[i] = (a[i]*b[i]) mod p  (Hadamard; h = f*g pointwise products)
+void vmpc_modvec_hadamard(const u64 *ctx, const u64 *a, const u64 *b, u64 n,
+                          u64 *out) {
+#pragma omp parallel for if (n >= 2048)
+  for (long long i = 0; i < (long long)n; i++) {
+    mulmod(ctx, a + 4 * i, b + 4 * i, out + 4 * i);
+  }
+}
+
+}  // extern "C"
