@@ -1,8 +1,11 @@
 """Subprocess entry for the TCP transport test: one MPC party.
 
-Usage: python tcp_party_main.py <pid> <m> <port>
-Runs a secure multiplication, a comparison gadget (dealer functionality) and
-a secure-group commitment over TCP, then prints the opened results.
+Usage: python tcp_party_main.py <pid> <m> <port> [--tls CERTDIR] [--chaos]
+Runs a secure multiplication, a comparison gadget, and a secure-group
+commitment over TCP, then prints the opened results.  ``--tls`` enables
+mutually-authenticated TLS using CERTDIR/party.crt|party.key|ca.crt;
+``--chaos`` forcibly drops every live connection mid-protocol to exercise
+reconnection + frame replay.
 """
 
 import os
@@ -16,7 +19,7 @@ from verifiable_mpc_tpu.mpc.secgroups import secure_repeat
 from verifiable_mpc_tpu.mpc.transport import run_tcp_party
 
 
-async def party():
+async def party(chaos=False):
     await mpc.start()
     group = QuadraticResidues(l=64)
     sectype = mpc.SecInt(l=16, p=group.order)
@@ -24,6 +27,13 @@ async def party():
     a = sectype(6)
     b = sectype(7)
     prod = await mpc.output(a * b)
+
+    if chaos and mpc.pid == 0:
+        # drop every live connection mid-protocol: the dialing peers must
+        # reconnect and replay unacknowledged frames
+        hub = mpc.hub
+        for peer in hub._links:
+            hub.inject_disconnect(peer)
 
     r = mpc._random(sectype)
     masked = await mpc.output(r * sectype(0) + sectype(5))
@@ -50,5 +60,14 @@ async def party():
 
 if __name__ == "__main__":
     pid, m, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-    rc = run_tcp_party(party, pid, m, base_port=port)
+    tls = None
+    if "--tls" in sys.argv:
+        certdir = sys.argv[sys.argv.index("--tls") + 1]
+        tls = dict(
+            certfile=os.path.join(certdir, "party.crt"),
+            keyfile=os.path.join(certdir, "party.key"),
+            cafile=os.path.join(certdir, "ca.crt"),
+        )
+    chaos = "--chaos" in sys.argv
+    rc = run_tcp_party(lambda: party(chaos), pid, m, base_port=port, tls=tls)
     sys.exit(rc)

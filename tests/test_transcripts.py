@@ -199,6 +199,9 @@ def test_hash_fast_path_byte_identity(monkeypatch):
         ed_pts + [EdwardsPoint.identity],
         [p * p for p in ed_pts],  # unnormalized coordinates round-trip
         [gb ** r.randrange(1, BNO) for _ in range(4)] + [BNPoint.identity],
+        # mixed int/field lists (circuit-sat linear forms): fast path
+        [gf(5), 123 * ELL + 7, 0, gf(ELL - 1), -(1 << 260), GF(BNO)(3)],
+        [7, gf(1), True],  # bool later in list: falls back to T_BOOL
         [gf(3), 7, "mixed"],  # inhomogeneous: falls back
         [[gf(1), gf(2)], [3, 4], LinearForm([gf(5), gf(6)])],  # nested
         [],

@@ -80,18 +80,16 @@ class TestSerialization:
         assert out == proof
 
 
-def test_tcp_three_process_mpc():
-    """Spawn three real OS processes exchanging Shamir shares over TCP."""
+def _run_parties(m, port, extra=()):
     script = os.path.join(os.path.dirname(__file__), "tcp_party_main.py")
-    port = 24650 + random.Random().randrange(200)
     procs = [
         subprocess.Popen(
-            [sys.executable, script, str(pid), "3", str(port)],
+            [sys.executable, script, str(pid), str(m), str(port), *extra],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
         )
-        for pid in range(3)
+        for pid in range(m)
     ]
     outs = []
     for proc in procs:
@@ -100,3 +98,48 @@ def test_tcp_three_process_mpc():
     for rc, out, err in outs:
         assert rc == 0, f"party failed: {out}\n{err}"
         assert "True" in out
+
+
+def test_tcp_three_process_mpc():
+    """Spawn three real OS processes exchanging Shamir shares over TCP."""
+    _run_parties(3, 24650 + random.Random().randrange(200))
+
+
+def test_tcp_reconnect_replay():
+    """Party 0 forcibly drops every connection mid-protocol; the dialing
+    peers must reconnect and replay unacknowledged frames."""
+    _run_parties(3, 24900 + random.Random().randrange(200), ("--chaos",))
+
+
+def _make_certs(tmpdir):
+    """One self-signed CA certificate shared as the party identity (the
+    transport authenticates by CA membership, not hostname)."""
+    crt = os.path.join(tmpdir, "party.crt")
+    key = os.path.join(tmpdir, "party.key")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", crt, "-days", "1",
+            "-subj", "/CN=vmpc-party",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    import shutil
+
+    shutil.copy(crt, os.path.join(tmpdir, "ca.crt"))
+    return tmpdir
+
+
+def test_tcp_tls_mutual_auth(tmp_path):
+    """Three parties over mutually-authenticated TLS."""
+    import shutil
+
+    if shutil.which("openssl") is None:
+        import pytest
+
+        pytest.skip("no openssl binary")
+    certdir = _make_certs(str(tmp_path))
+    _run_parties(
+        3, 25150 + random.Random().randrange(200), ("--tls", certdir)
+    )

@@ -334,7 +334,11 @@ def calculate_fgh_evaluations(a, b, gf):
         f_hi, g_hi = [], []
     f_all = f_vals + f_hi  # f(1..2m)
     g_all = g_vals + g_hi
-    h_evals = [gf(u * v) for u, v in zip(f_all, g_all)]
+    from ..ops import modvec
+
+    h_evals = modvec.hadamard_ints(f_all, g_all, gf)
+    if h_evals is None:
+        h_evals = [gf(u * v) for u, v in zip(f_all, g_all)]
     return gf(f0), gf(g0), gf(f0 * g0), h_evals
 
 

@@ -65,13 +65,18 @@ def _lagrange_row_consecutive(field, xs, x_r):
     fact = [1] * n
     for i in range(1, n):
         fact[i] = fact[i - 1] * i % modulus
+    # all factorial inverses from ONE modular inversion
+    inv_fact = [1] * n
+    inv_fact[n - 1] = pow(fact[n - 1], -1, modulus)
+    for i in range(n - 1, 0, -1):
+        inv_fact[i - 1] = inv_fact[i] * i % modulus
     row = [0] * n
     for i in range(n):
         num = prefix[i] * suffix[i + 1] % modulus
-        denom = fact[i] * fact[n - 1 - i] % modulus
+        inv_denom = inv_fact[i] * inv_fact[n - 1 - i] % modulus
         if (n - 1 - i) % 2 == 1:
-            denom = modulus - denom
-        row[i] = num * pow(denom, -1, modulus) % modulus
+            inv_denom = modulus - inv_denom
+        row[i] = num * inv_denom % modulus
     return row
 
 

@@ -8,9 +8,18 @@ length-prefixed frames of canonically-serialized payloads
 (:mod:`verifiable_mpc_tpu.serialization`), and messages are demultiplexed by
 the same deterministic program-order op ids the in-process hub uses.
 
-The comparison-gadget ideal functionality is realized by a designated dealer
-(party 0): shares travel to the dealer, which recombines, evaluates the
-predicate and deals fresh Shamir shares back.
+Beyond the reference (which has no transport hardening at all — a dropped
+party aborts the run, SURVEY.md §5.3):
+
+* **TLS**: pass ``tls=dict(certfile=..., keyfile=..., cafile=...)`` for
+  mutually-authenticated TLS between parties (one shared CA; hostname
+  checking is off because parties are addressed by pid/port).
+* **Reconnection with replay**: every frame carries a per-peer sequence
+  number; receivers dedup and acknowledge periodically, senders buffer
+  unacknowledged frames and replay them after re-establishing a dropped
+  connection (the higher pid reconnects; the listener accepts the
+  replacement).  A transient network failure mid-protocol is therefore
+  survivable instead of fatal.
 """
 
 from __future__ import annotations
@@ -22,18 +31,61 @@ from .. import serialization
 from . import shamir
 from .runtime import Runtime, _ctx_runtime
 
+_ACK_EVERY = 256  # receiver acks every N frames (and on reconnect)
+_RECONNECT_TRIES = 100
+_RECONNECT_DELAY = 0.1
+
+_F_DATA = 0
+_F_ACK = 1
+_F_HELLO = 2
+
+
+def make_tls_contexts(certfile: str, keyfile: str, cafile: str):
+    """(server_ctx, client_ctx) for mutually-authenticated party links."""
+    import ssl
+
+    server = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server.load_cert_chain(certfile, keyfile)
+    server.load_verify_locations(cafile)
+    server.verify_mode = ssl.CERT_REQUIRED
+    client = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    client.load_cert_chain(certfile, keyfile)
+    client.load_verify_locations(cafile)
+    client.check_hostname = False  # parties are addressed by pid/port
+    return server, client
+
+
+class _PeerLink:
+    """Send/receive state for one peer: sequence numbers, replay buffer."""
+
+    __slots__ = ("writer", "send_seq", "unacked", "recv_seq", "since_ack")
+
+    def __init__(self):
+        self.writer = None
+        self.send_seq = 0  # next sequence number to assign
+        self.unacked = {}  # seq -> wire bytes (replayed on reconnect)
+        self.recv_seq = 0  # next expected sequence from the peer
+        self.since_ack = 0
+
 
 class TcpHub:
-    def __init__(self, pid: int, m: int, base_port: int = 23265, host: str = "127.0.0.1"):
+    def __init__(self, pid: int, m: int, base_port: int = 23265,
+                 host: str = "127.0.0.1", tls: dict | None = None):
         self.pid = pid
         self.m = m
         self.base_port = base_port
         self.host = host
         self._boxes = {}  # (src, op_key) -> Future
-        self._writers = {}  # peer pid -> StreamWriter
+        self._links = {p: _PeerLink() for p in range(m) if p != pid}
         self._server = None
-        self._reader_tasks = []
+        self._reader_tasks = {}
         self._started = False
+        self._ssl_server = None
+        self._ssl_client = None
+        if tls is not None:
+            self._ssl_server, self._ssl_client = make_tls_contexts(
+                tls["certfile"], tls["keyfile"], tls["cafile"]
+            )
 
     # -- connection management --------------------------------------------
     async def ensure_started(self):
@@ -45,45 +97,94 @@ class TcpHub:
 
         async def on_connect(reader, writer):
             peer = struct.unpack(">I", await reader.readexactly(4))[0]
-            self._writers[peer] = writer
-            self._reader_tasks.append(
-                asyncio.get_running_loop().create_task(self._read_loop(peer, reader))
-            )
+            self._attach(peer, reader, writer)
 
         self._server = await asyncio.start_server(
-            on_connect, self.host, self.base_port + self.pid
+            on_connect, self.host, self.base_port + self.pid,
+            ssl=self._ssl_server,
         )
-        # connect to all lower pids (they are already listening or will be)
         for peer in range(self.pid):
-            reader, writer = None, None
-            for _ in range(600):
-                try:
-                    reader, writer = await asyncio.open_connection(
-                        self.host, self.base_port + peer
-                    )
-                    break
-                except OSError:
-                    await asyncio.sleep(0.05)
-            if writer is None:
-                raise ConnectionError(f"party {self.pid} cannot reach party {peer}")
-            writer.write(struct.pack(">I", self.pid))
-            self._writers[peer] = writer
-            self._reader_tasks.append(
-                asyncio.get_running_loop().create_task(self._read_loop(peer, reader))
-            )
-        # wait until every peer is connected
-        while len(self._writers) < self.m - 1:
+            await self._connect(peer)
+        while any(l.writer is None for l in self._links.values()):
             await asyncio.sleep(0.02)
 
-    async def _read_loop(self, peer: int, reader):
+    async def _connect(self, peer: int):
+        """Dial a lower-pid peer (with retries) and say hello."""
+        for _ in range(_RECONNECT_TRIES):
+            try:
+                reader, writer = await asyncio.open_connection(
+                    self.host, self.base_port + peer, ssl=self._ssl_client
+                )
+                break
+            except OSError:
+                await asyncio.sleep(_RECONNECT_DELAY)
+        else:
+            raise ConnectionError(
+                f"party {self.pid} cannot reach party {peer}"
+            )
+        writer.write(struct.pack(">I", self.pid))
+        self._attach(peer, reader, writer)
+
+    def _attach(self, peer: int, reader, writer):
+        link = self._links[peer]
+        old = self._reader_tasks.pop(peer, None)
+        if old is not None:
+            old.cancel()
+        link.writer = writer
+        # replay everything the peer hasn't acknowledged (dedup by seq
+        # on the receiving side makes duplicates harmless)
+        for seq in sorted(link.unacked):
+            writer.write(link.unacked[seq])
+        self._reader_tasks[peer] = asyncio.get_running_loop().create_task(
+            self._read_loop(peer, reader, writer)
+        )
+
+    async def _read_loop(self, peer: int, reader, my_writer):
+        link = self._links[peer]
         try:
             while True:
-                (n,) = struct.unpack(">I", await reader.readexactly(4))
+                kind, seq, n = struct.unpack(
+                    ">BQI", await reader.readexactly(13)
+                )
                 frame = await reader.readexactly(n)
+                if kind == _F_ACK:
+                    for s in list(link.unacked):
+                        if s < seq:
+                            del link.unacked[s]
+                    continue
+                if seq < link.recv_seq:
+                    continue  # replayed duplicate
+                link.recv_seq = seq + 1
                 op_key, payload = serialization.loads(frame)
                 self._box(peer, op_key).set_result(payload)
-        except (asyncio.IncompleteReadError, ConnectionResetError):
-            pass
+                link.since_ack += 1
+                if link.since_ack >= _ACK_EVERY:
+                    self._send_ack(peer)
+        except (asyncio.IncompleteReadError, ConnectionResetError, OSError):
+            # connection dropped: the dialing side (higher pid) re-dials;
+            # the listening side waits for the replacement connection
+            if link.writer is my_writer:  # not already replaced
+                link.writer = None
+                if peer < self.pid:
+                    asyncio.get_running_loop().create_task(
+                        self._reconnect(peer)
+                    )
+
+    async def _reconnect(self, peer: int):
+        try:
+            await self._connect(peer)
+            self._send_ack(peer)  # tell the peer what we have
+        except ConnectionError:
+            pass  # unreachable: pending recv futures keep the run blocked
+
+    def _send_ack(self, peer: int):
+        link = self._links[peer]
+        link.since_ack = 0
+        if link.writer is not None:
+            try:
+                link.writer.write(struct.pack(">BQI", _F_ACK, link.recv_seq, 0))
+            except (ConnectionResetError, OSError):
+                pass
 
     def _box(self, src, op_key):
         key = (src, op_key)
@@ -97,11 +198,27 @@ class TcpHub:
     def _key(op_id):
         return serialization.dumps(op_id)
 
+    # -- fault injection (tests) -------------------------------------------
+    def inject_disconnect(self, peer: int):
+        """Forcibly drop the link to ``peer`` (reconnect/replay test hook)."""
+        link = self._links[peer]
+        if link.writer is not None:
+            link.writer.transport.abort()
+
     # -- hub interface (same shape as runtime.Hub) --------------------------
     def send(self, src, dst, op_id, payload):
         frame = serialization.dumps((self._key(op_id), payload))
-        writer = self._writers[dst]
-        writer.write(struct.pack(">I", len(frame)) + frame)
+        link = self._links[dst]
+        seq = link.send_seq
+        link.send_seq += 1
+        wire = struct.pack(">BQI", _F_DATA, seq, len(frame)) + frame
+        link.unacked[seq] = wire
+        writer = link.writer
+        if writer is not None:
+            try:
+                writer.write(wire)
+            except (ConnectionResetError, OSError):
+                pass  # replayed after reconnect
 
     async def recv(self, dst, src, op_id):
         fut = self._box(src, self._key(op_id))
@@ -138,10 +255,11 @@ class TcpHub:
         return [field(v) for v in rows]
 
     async def close(self):
-        for t in self._reader_tasks:
+        for t in self._reader_tasks.values():
             t.cancel()
-        for w in self._writers.values():
-            w.close()
+        for link in self._links.values():
+            if link.writer is not None:
+                link.writer.close()
         if self._server is not None:
             self._server.close()
 
@@ -157,12 +275,14 @@ class TcpRuntime(Runtime):
         await self.hub.close()
 
 
-def run_tcp_party(party_program, pid: int, m: int, base_port: int = 23265):
+def run_tcp_party(party_program, pid: int, m: int, base_port: int = 23265,
+                  tls: dict | None = None):
     """Run one party process over TCP; call in m separate processes with
-    pid = 0..m-1 (the analogue of MPyC's -M/-I flags)."""
+    pid = 0..m-1 (the analogue of MPyC's -M/-I flags).  ``tls`` enables
+    mutually-authenticated TLS (see :func:`make_tls_contexts`)."""
 
     async def driver():
-        hub = TcpHub(pid, m, base_port)
+        hub = TcpHub(pid, m, base_port, tls=tls)
         rt = TcpRuntime(pid, m, hub)
         token = _ctx_runtime.set(rt)
         try:

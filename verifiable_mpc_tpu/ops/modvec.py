@@ -195,6 +195,15 @@ def weighted_sum(weights, rows, gf):
     return [gf(v) for v in native.mod_weighted_sum(ww, vals, gf.modulus)]
 
 
+def hadamard_ints(a, b, gf):
+    """[gf(a_i * b_i)] for plain-int inputs, or None."""
+    if len(a) < MIN_N or len(a) != len(b) or not _native_ok(gf):
+        return None
+    if not (all(type(v) is int for v in a) and all(type(v) is int for v in b)):
+        return None
+    return [gf(v) for v in native.mod_hadamard(a, b, gf.modulus)]
+
+
 def hadamard(a, b, gf):
     """[a_i * b_i] as gf elements, or None.  Requires all gf elements."""
     if len(a) < MIN_N or not _native_ok(gf):

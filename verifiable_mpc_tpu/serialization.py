@@ -200,11 +200,33 @@ def _hash_list_fast(buf, obj) -> bool:
     Writes nothing and returns False for inhomogeneous/unhandled lists."""
     t0 = type(obj[0])
     out = bytearray()
-    if t0 is int:
+    if t0 is int or (
+        isinstance(obj[0], FiniteFieldElement)
+        and not isinstance(obj[0], QuadraticExtensionElement)
+    ):
+        # ints and prime-field elements both emit T_INT records (fields as
+        # their signed representative), so MIXED int/field lists — the
+        # circuit-sat linear forms carry raw Lagrange-weight ints next to
+        # gf coefficients — stay on the fast path too
+        cache = {}
         for v in obj:
-            if type(v) is not int:
-                return False
-            raw = _int_raw(v)
+            tv = type(v)
+            if tv is int:
+                raw = _int_raw(v)
+            else:
+                info = cache.get(tv)
+                if info is None:
+                    if not isinstance(v, FiniteFieldElement) or isinstance(
+                        v, QuadraticExtensionElement
+                    ):
+                        return False
+                    info = (tv.is_signed, tv.modulus // 2, tv.modulus)
+                    cache[tv] = info
+                signed, half, modulus = info
+                val = v.value
+                if signed and val > half:
+                    val -= modulus
+                raw = _int_raw(val)
             out += b"\x01"
             out += _PACK_I(len(raw))
             out += raw
@@ -217,22 +239,6 @@ def _hash_list_fast(buf, obj) -> bool:
                 raw = _int_raw(v)
                 out += _PACK_I(len(raw))
                 out += raw
-    elif issubclass(t0, FiniteFieldElement) and not issubclass(
-        t0, QuadraticExtensionElement
-    ):
-        signed = t0.is_signed
-        half = t0.modulus // 2
-        modulus = t0.modulus
-        for e in obj:
-            if type(e) is not t0:
-                return False
-            v = e.value
-            if signed and v > half:
-                v -= modulus
-            raw = _int_raw(v)
-            out += b"\x01"  # T_INT (field elements hash as signed ints)
-            out += _PACK_I(len(raw))
-            out += raw
     elif t0 is BNPoint:
         for p in obj:
             if type(p) is not BNPoint:
