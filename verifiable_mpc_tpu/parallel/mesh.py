@@ -26,6 +26,7 @@ from jax.experimental.shard_map import shard_map
 from ..groups.edwards import EdwardsPoint
 from ..ops import curve_ed as ced
 from ..ops import msm as msm_mod
+from ..ops import msm_pallas as mp
 
 
 def default_mesh(n_devices=None, axis="shard"):
@@ -112,3 +113,168 @@ def sharded_fold(g_l, g_r, c, mesh=None, axis="shard") -> list:
     c_bits = jnp.asarray(msm_mod._scalar_bits([c])[:, 0])
     out = _sharded_fold_kernel(n, mesh, axis)(dev_l, dev_r, c_bits)
     return ced.decode_points(out)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas kernels under shard_map (curve-generic via the msm_pallas
+# adapters): each chip runs the fused chunk/tail pipeline on its shard,
+# partial points travel as 4x16 u32 limbs over ICI
+# ---------------------------------------------------------------------------
+
+
+def _tree_reduce_lm(curve, x, k):
+    """nc x [L, m] limb-major partial points -> nc x [L] via log2(m) adds."""
+    m = x[0].shape[1]
+    while m > 1:
+        half = m // 2
+        x = curve.add(
+            tuple(a[:, :half] for a in x),
+            tuple(a[:, half:m] for a in x),
+            k,
+        )
+        m = half
+    return tuple(a[:, 0] for a in x)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_fused_kernel(curve, n: int, chunk: int, sub: int, nw: int,
+                              mesh: Mesh, axis: str, interpret: bool):
+    ndev = mesh.shape[axis]
+    assert ndev & (ndev - 1) == 0, "power-of-two mesh"
+    local_n = n // ndev
+    steps = local_n // (chunk * sub)
+    assert steps >= 1 and local_n % (chunk * sub) == 0
+    nc = curve.NC
+    call = mp._chunk_pallas(curve, chunk, sub, nw, interpret)
+    tail = mp._tail_pallas(curve, chunk, nw, interpret)
+    Lb = mp.L
+
+    def local_fn(points_bm, digits):
+        # points_bm: nc x [local_n, L]; digits: [nw, local_n]
+        k = curve.consts()
+        lmaj = [
+            jnp.transpose(a, (1, 0)).reshape(Lb, steps, sub, chunk)
+            for a in points_bm
+        ]
+        digs = digits.reshape(nw, steps, sub, chunk)
+        acc = curve.identity((nw, chunk), k)
+        for i in range(steps):
+            acc = tuple(call(digs[:, i], *(a[:, i] for a in lmaj), *acc))
+        fin = tail(*acc)
+        part = tuple(a[:, :1] for a in fin)  # [L, 1] per coord
+        gathered = tuple(
+            jax.lax.all_gather(a, axis, axis=1, tiled=True) for a in part
+        )  # [L, ndev]
+        return _tree_reduce_lm(curve, gathered, k)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=((P(axis, None),) * nc, P(None, axis)),
+        out_specs=(P(),) * nc,
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_msm_fused(points, scalars, mesh=None, chunk: int = 128,
+                      sub: int = 8, axis: str = "shard",
+                      interpret: bool | None = None, curve=mp.ED):
+    """MSM sharded over the mesh, each chip running the fused Pallas
+    pipeline on its slice; ndev partial points tree-reduce after an
+    all_gather (O(1)-in-n communication)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    mesh = mesh or default_mesh()
+    ndev = mesh.shape[axis]
+    granule = ndev * chunk * sub
+    n = len(points)
+    pad = (-n) % granule
+    if pad:
+        points = list(points) + [curve.group_cls.identity] * pad
+        scalars = list(scalars) + [0] * pad
+    n += pad
+    dev_pts = curve.encode(points)
+    digits_np = mp._scalar_digits_signed(scalars, curve.order)
+    nonzero = np.flatnonzero(digits_np.any(axis=1))
+    windows_needed = msm_mod.NWINDOWS - nonzero[0] if nonzero.size else 1
+    if interpret:  # exact trim keeps interpret-mode tests fast
+        nw = max(1, int(windows_needed))
+    else:
+        nw = 8 if windows_needed <= 8 else msm_mod.NWINDOWS
+    digits = jnp.asarray(digits_np[msm_mod.NWINDOWS - nw:])
+    out = _sharded_msm_fused_kernel(
+        curve, n, chunk, sub, nw, mesh, axis, interpret
+    )(tuple(dev_pts), digits)
+    return curve.decode_one(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fold_fused_kernel(curve, n: int, chunk: int, sub: int, nw: int,
+                               mesh: Mesh, axis: str, interpret: bool):
+    ndev = mesh.shape[axis]
+    local_n = n // ndev
+    steps = local_n // (chunk * sub)
+    assert steps >= 1 and local_n % (chunk * sub) == 0
+    nc = curve.NC
+    call = mp._fold_pallas(curve, chunk, sub, nw, interpret)
+    Lb = mp.L
+
+    def local_fn(gl_bm, gr_bm, digits):
+        lmaj = [
+            jnp.transpose(a, (1, 0)).reshape(Lb, steps, sub, chunk)
+            for a in gl_bm + gr_bm
+        ]
+        outs = []
+        for i in range(steps):
+            both = [a[:, i] for a in lmaj]
+            outs.append(call(digits, *both[:nc], *both[nc:]))
+        coords = [
+            jnp.concatenate(
+                [o[c].reshape(Lb, sub * chunk) for o in outs], axis=1
+            ).T
+            for c in range(nc)
+        ]
+        return jnp.stack(coords)  # [nc, local_n, L]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=((P(axis, None),) * nc, (P(axis, None),) * nc, P()),
+        out_specs=P(None, axis, None),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_fold_fused(g_l, g_r, c, mesh=None, chunk: int = 128,
+                       sub: int = 8, axis: str = "shard",
+                       interpret: bool | None = None, curve=mp.ED) -> list:
+    """[g_l[i]**c * g_r[i]] sharded over the mesh via the fused fold kernel
+    (no collectives — the output stays partitioned like the input)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    mesh = mesh or default_mesh()
+    ndev = mesh.shape[axis]
+    granule = ndev * chunk * sub
+    n = len(g_l)
+    pad = (-n) % granule
+    if pad:
+        g_l = list(g_l) + [curve.group_cls.identity] * pad
+        g_r = list(g_r) + [curve.group_cls.identity] * pad
+    dev_l = curve.encode(g_l)
+    dev_r = curve.encode(g_r)
+    cc = int(c) % curve.order
+    digits_np = mp._scalar_digits([cc], curve.order)[:, 0]
+    if interpret:
+        nwl = max(1, -(-max(1, cc.bit_length()) // msm_mod.WINDOW))
+    else:
+        nwl = msm_mod.NWINDOWS
+    digits = jnp.asarray(
+        digits_np[msm_mod.NWINDOWS - nwl:].reshape(nwl, 1).astype(np.int32)
+    )
+    out = _sharded_fold_fused_kernel(
+        curve, n + pad, chunk, sub, nwl, mesh, axis, interpret
+    )(tuple(dev_l), tuple(dev_r), digits)
+    stacked = np.asarray(out)
+    return curve.decode_many(tuple(stacked))[:n]
