@@ -45,10 +45,11 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
     native.enable_scalar_tier()  # host-side vector mod-p glue
     msm.register(min_msm_batch)
     if fused:
-        from .ops import bn_pallas, msm_pallas
+        from .ops import bn2_pallas, bn_pallas, msm_pallas
 
         msm_pallas.register(min_msm_batch)  # overrides msm/fold backends
         bn_pallas.register(min_msm_batch)  # BN256 G1 (Pinocchio MSMs)
+        bn2_pallas.register(min_msm_batch)  # BN256 twist (keygen w-terms)
     ntt.register(min_poly_len)
 
 
