@@ -128,6 +128,13 @@ def available() -> bool:
 
 
 def _pts_to_u64(points) -> np.ndarray:
+    fs = fastser()
+    if fs is not None and isinstance(points, list) and points:
+        raw = fs.ed_pts_to_u64(points, type(points[0]))
+        if raw is not None:
+            return np.frombuffer(raw, dtype=np.uint64).reshape(
+                len(points), 16
+            )
     n = len(points)
     out = np.empty((n, 16), dtype=np.uint64)
     mask = (1 << 64) - 1
@@ -143,6 +150,11 @@ def _pts_to_u64(points) -> np.ndarray:
 def _u64_to_pts(arr) -> list:
     from ..groups.edwards import EdwardsPoint
 
+    fs = fastser()
+    if fs is not None:
+        return fs.u64_to_ed_pts(
+            np.ascontiguousarray(arr, dtype=np.uint64), EdwardsPoint
+        )
     out = []
     for row in arr:
         coords = []
@@ -156,6 +168,27 @@ def _u64_to_pts(arr) -> list:
 
 
 def _scalars_to_u64(scalars, order) -> np.ndarray:
+    fs = fastser()
+    if fs is not None and isinstance(scalars, (list, tuple)) and scalars:
+        ftype = None
+        first = scalars[0]
+        if type(first) is not int:
+            from ..fields import FiniteFieldElement
+
+            # int(field elem) is its signed representative; (v - p) % order
+            # == v when the field modulus equals the order, which is the
+            # only case the protocols feed here — verify and fall through
+            # otherwise
+            if (
+                isinstance(first, FiniteFieldElement)
+                and type(first).modulus == order
+            ):
+                ftype = type(first)
+        raw = fs.vals_to_u64x4(scalars, ftype, order)
+        if raw is not None:
+            return np.frombuffer(raw, dtype=np.uint64).reshape(
+                len(scalars), 4
+            )
     n = len(scalars)
     out = np.empty((n, 4), dtype=np.uint64)
     mask = (1 << 64) - 1
@@ -340,6 +373,11 @@ def _modvec_ctx(p: int):
 
 
 def _ints_to_u64x4(xs, p) -> np.ndarray:
+    fs = fastser()
+    if fs is not None and isinstance(xs, (list, tuple)):
+        raw = fs.vals_to_u64x4(xs, None, p)
+        if raw is not None:
+            return np.frombuffer(raw, dtype=np.uint64).reshape(len(xs), 4)
     n = len(xs)
     buf = bytearray(n * 32)
     for i, x in enumerate(xs):
@@ -349,6 +387,9 @@ def _ints_to_u64x4(xs, p) -> np.ndarray:
 
 
 def _u64x4_to_ints(arr) -> list:
+    fs = fastser()
+    if fs is not None:
+        return fs.u64x4_to_ints(np.ascontiguousarray(arr, dtype=np.uint64))
     raw = np.ascontiguousarray(arr).tobytes()
     return [
         int.from_bytes(raw[i * 32 : (i + 1) * 32], "little")
@@ -538,6 +579,49 @@ def ntt_poly_mul_ints(a, b) -> list:
     out = np.zeros((na + nb - 1, 9), dtype=np.uint64)
     lib.vmpc_ntt_poly_mul(_u64p(arr_a), na, _u64p(arr_b), nb, _u64p(out))
     return _u64x9_to_ints(out)
+
+
+_FASTSER_SRC = os.path.join(_HERE, "_fastser.c")
+_FASTSER_SO = os.path.join(_HERE, "_fastser.so")
+_fastser = None
+_fastser_tried = False
+
+
+def fastser():
+    """CPython C-API extension for the per-element hot loops (transcript
+    encoding, bigint<->limb conversion); None if unavailable.  Built on
+    demand like the ctypes library; callers keep a pure-Python fallback."""
+    global _fastser, _fastser_tried
+    if _fastser is not None or _fastser_tried:
+        return _fastser
+    _fastser_tried = True
+    import importlib.util
+    import sysconfig
+
+    src_mtime = os.path.getmtime(_FASTSER_SRC)
+    if (
+        not os.path.exists(_FASTSER_SO)
+        or os.path.getmtime(_FASTSER_SO) < src_mtime
+    ):
+        inc = sysconfig.get_paths()["include"]
+        cmd = [
+            "gcc", "-O2", "-shared", "-fPIC", f"-I{inc}",
+            "-o", _FASTSER_SO, _FASTSER_SRC,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "verifiable_mpc_tpu.native._fastser", _FASTSER_SO
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    except Exception:
+        return None
+    _fastser = mod
+    return _fastser
 
 
 def register(min_batch: int = 8):

@@ -1,0 +1,446 @@
+/* _fastser: CPython C-API fast paths for the per-element hot loops.
+ *
+ * The Fiat-Shamir transcript encoder (serialization.py:_hash_list_fast) and
+ * the Python<->limb-array conversions (native/__init__.py:_ints_to_u64x4,
+ * _pts_to_u64, _u64_to_pts) walk lists of Python bigints / field elements /
+ * curve points element by element; at 2^16-gate circuits those loops cost
+ * seconds per proof (profiled: ~5s hashing + ~3s conversions at 2^14).
+ * ctypes cannot walk PyObject lists, so this extension does it with the
+ * C API: PyList iteration, slot attribute loads, and direct
+ * _PyLong_AsByteArray / _PyLong_FromByteArray exports.
+ *
+ * Byte-format contracts (pinned by the golden-transcript tests):
+ *   - ints hash as T_INT(0x01) + u32be(len) + minimal signed big-endian
+ *     bytes, len = bit_length()//8 + 1  (serialization._int_raw);
+ *   - field elements hash as their signed representative
+ *     (v - modulus if signed and v > modulus // 2);
+ *   - Edwards points as T_ED(0x12) + 4 coordinate records, BN G1 points as
+ *     T_BN(0x13) + 3 records (serialization._hash_list_fast);
+ *   - u64x4 rows are 32-byte little-endian (native/__init__.py).
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <string.h>
+
+/* ---------------------------------------------------------------- buffer */
+
+typedef struct {
+    unsigned char *data;
+    Py_ssize_t len;
+    Py_ssize_t cap;
+} Buf;
+
+static int buf_init(Buf *b, Py_ssize_t cap) {
+    b->data = PyMem_Malloc(cap);
+    b->len = 0;
+    b->cap = cap;
+    return b->data ? 0 : -1;
+}
+
+static unsigned char *buf_reserve(Buf *b, Py_ssize_t extra) {
+    if (b->len + extra > b->cap) {
+        Py_ssize_t cap = b->cap * 2;
+        while (cap < b->len + extra) cap *= 2;
+        unsigned char *nd = PyMem_Realloc(b->data, cap);
+        if (!nd) return NULL;
+        b->data = nd;
+        b->cap = cap;
+    }
+    return b->data + b->len;
+}
+
+static void buf_free(Buf *b) { PyMem_Free(b->data); }
+
+/* minimal signed big-endian int record: u32be(len) + bytes.
+ * Matches serialization._int_raw: len = bit_length // 8 + 1. */
+static int write_int_record(Buf *b, PyObject *v) {
+    if (!PyLong_Check(v)) {
+        PyErr_SetString(PyExc_TypeError, "expected int attribute");
+        return -1;
+    }
+    size_t nbits = _PyLong_NumBits(v);
+    if (nbits == (size_t)-1 && PyErr_Occurred()) return -1;
+    Py_ssize_t nbytes = (Py_ssize_t)(nbits / 8) + 1;
+    unsigned char *dst = buf_reserve(b, 4 + nbytes);
+    if (!dst) return -1;
+    dst[0] = (unsigned char)(nbytes >> 24);
+    dst[1] = (unsigned char)(nbytes >> 16);
+    dst[2] = (unsigned char)(nbytes >> 8);
+    dst[3] = (unsigned char)nbytes;
+    if (_PyLong_AsByteArray((PyLongObject *)v, dst + 4, (size_t)nbytes,
+                            /*little_endian=*/0, /*is_signed=*/1) < 0)
+        return -1;
+    b->len += 4 + nbytes;
+    return 0;
+}
+
+/* ------------------------------------------------------------ interned */
+
+static PyObject *str_value; /* "value" */
+
+/* v.value for slot classes; returns new ref */
+static inline PyObject *get_value(PyObject *v) {
+    return PyObject_GetAttr(v, str_value);
+}
+
+/* -------------------------------------------------------------- encode */
+
+/* encode_vals(seq, ftype, half, modulus) -> bytes | None | element
+ *
+ * bytes: the concatenated T_INT records for every element (exact ints raw,
+ *   exact-ftype field elements as their signed representative).
+ * None: an element is neither an exact int nor an exact ftype instance —
+ *   caller falls back to the generic path.
+ * element (anything else): ftype was None and a non-int element was found;
+ *   the caller inspects its type and retries with ftype/half/modulus set.
+ *
+ * half is None for unsigned field types, else modulus // 2. */
+static PyObject *encode_vals(PyObject *self, PyObject *args) {
+    PyObject *seq, *ftype, *half, *modulus;
+    if (!PyArg_ParseTuple(args, "OOOO", &seq, &ftype, &half, &modulus))
+        return NULL;
+    PyObject **items;
+    Py_ssize_t n;
+    if (PyList_CheckExact(seq)) {
+        items = ((PyListObject *)seq)->ob_item;
+        n = PyList_GET_SIZE(seq);
+    } else if (PyTuple_CheckExact(seq)) {
+        items = ((PyTupleObject *)seq)->ob_item;
+        n = PyTuple_GET_SIZE(seq);
+    } else {
+        PyErr_SetString(PyExc_TypeError, "expected list or tuple");
+        return NULL;
+    }
+
+    Buf b;
+    if (buf_init(&b, 64 + n * 40)) return PyErr_NoMemory();
+
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *v = items[i];
+        unsigned char *tag = buf_reserve(&b, 1);
+        if (!tag) goto fail;
+        *tag = 0x01; /* T_INT */
+        b.len += 1;
+        if (PyLong_CheckExact(v)) {
+            if (write_int_record(&b, v) < 0) goto fail;
+        } else if ((PyObject *)Py_TYPE(v) == ftype && ftype != Py_None) {
+            PyObject *val = get_value(v);
+            if (!val) goto fail;
+            if (half != Py_None) {
+                int gt = PyObject_RichCompareBool(val, half, Py_GT);
+                if (gt < 0) { Py_DECREF(val); goto fail; }
+                if (gt) {
+                    PyObject *adj = PyNumber_Subtract(val, modulus);
+                    Py_DECREF(val);
+                    if (!adj) goto fail;
+                    val = adj;
+                }
+            }
+            int rc = write_int_record(&b, val);
+            Py_DECREF(val);
+            if (rc < 0) goto fail;
+        } else {
+            buf_free(&b);
+            if (ftype == Py_None) return Py_NewRef(v);
+            Py_RETURN_NONE;
+        }
+    }
+    {
+        PyObject *out = PyBytes_FromStringAndSize((char *)b.data, b.len);
+        buf_free(&b);
+        return out;
+    }
+fail:
+    buf_free(&b);
+    return NULL;
+}
+
+/* encode_ed_points(seq, ptype) -> bytes | None
+ * T_ED(0x12) + int records for x, y, z, t (plain nonneg ints). */
+static PyObject *encode_ed_points(PyObject *self, PyObject *args) {
+    PyObject *seq, *ptype;
+    if (!PyArg_ParseTuple(args, "OO", &seq, &ptype)) return NULL;
+    if (!PyList_CheckExact(seq)) {
+        PyErr_SetString(PyExc_TypeError, "expected list");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(seq);
+    Buf b;
+    if (buf_init(&b, 64 + n * 160)) return PyErr_NoMemory();
+    PyObject *names[4] = {NULL, NULL, NULL, NULL};
+    names[0] = PyUnicode_InternFromString("x");
+    names[1] = PyUnicode_InternFromString("y");
+    names[2] = PyUnicode_InternFromString("z");
+    names[3] = PyUnicode_InternFromString("t");
+
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *p = PyList_GET_ITEM(seq, i);
+        if ((PyObject *)Py_TYPE(p) != ptype) {
+            buf_free(&b);
+            for (int j = 0; j < 4; j++) Py_XDECREF(names[j]);
+            Py_RETURN_NONE;
+        }
+        unsigned char *tag = buf_reserve(&b, 1);
+        if (!tag) goto fail;
+        *tag = 0x12; /* T_ED */
+        b.len += 1;
+        for (int j = 0; j < 4; j++) {
+            PyObject *c = PyObject_GetAttr(p, names[j]);
+            if (!c) goto fail;
+            int rc = write_int_record(&b, c);
+            Py_DECREF(c);
+            if (rc < 0) goto fail;
+        }
+    }
+    {
+        PyObject *out = PyBytes_FromStringAndSize((char *)b.data, b.len);
+        buf_free(&b);
+        for (int j = 0; j < 4; j++) Py_XDECREF(names[j]);
+        return out;
+    }
+fail:
+    buf_free(&b);
+    for (int j = 0; j < 4; j++) Py_XDECREF(names[j]);
+    return NULL;
+}
+
+/* encode_bn_points(seq, ptype) -> bytes | None
+ * T_BN(0x13) + int records for x.value, y.value, z.value. */
+static PyObject *encode_bn_points(PyObject *self, PyObject *args) {
+    PyObject *seq, *ptype;
+    if (!PyArg_ParseTuple(args, "OO", &seq, &ptype)) return NULL;
+    if (!PyList_CheckExact(seq)) {
+        PyErr_SetString(PyExc_TypeError, "expected list");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(seq);
+    Buf b;
+    if (buf_init(&b, 64 + n * 120)) return PyErr_NoMemory();
+    PyObject *names[3];
+    names[0] = PyUnicode_InternFromString("x");
+    names[1] = PyUnicode_InternFromString("y");
+    names[2] = PyUnicode_InternFromString("z");
+
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *p = PyList_GET_ITEM(seq, i);
+        if ((PyObject *)Py_TYPE(p) != ptype) {
+            buf_free(&b);
+            for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+            Py_RETURN_NONE;
+        }
+        unsigned char *tag = buf_reserve(&b, 1);
+        if (!tag) goto fail;
+        *tag = 0x13; /* T_BN */
+        b.len += 1;
+        for (int j = 0; j < 3; j++) {
+            PyObject *c = PyObject_GetAttr(p, names[j]);
+            if (!c) goto fail;
+            PyObject *val = get_value(c);
+            Py_DECREF(c);
+            if (!val) goto fail;
+            int rc = write_int_record(&b, val);
+            Py_DECREF(val);
+            if (rc < 0) goto fail;
+        }
+    }
+    {
+        PyObject *out = PyBytes_FromStringAndSize((char *)b.data, b.len);
+        buf_free(&b);
+        for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+        return out;
+    }
+fail:
+    buf_free(&b);
+    for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+    return NULL;
+}
+
+/* ---------------------------------------------------------- conversions */
+
+/* export one nonneg int < 2^256 as 32 little-endian bytes; reduces mod
+ * modulus first when the direct export overflows or the value is negative */
+static int export_u64x4(PyObject *v, PyObject *modulus, unsigned char *dst) {
+    if (!PyLong_Check(v)) {
+        PyErr_SetString(PyExc_TypeError, "expected int value");
+        return -1;
+    }
+    if (_PyLong_Sign(v) >= 0) {
+        int ge = PyObject_RichCompareBool(v, modulus, Py_GE);
+        if (ge < 0) return -1;
+        if (!ge)
+            return _PyLong_AsByteArray((PyLongObject *)v, dst, 32, 1, 0);
+    }
+    PyObject *red = PyNumber_Remainder(v, modulus);
+    if (!red) return -1;
+    int rc = _PyLong_AsByteArray((PyLongObject *)red, dst, 32, 1, 0);
+    Py_DECREF(red);
+    return rc;
+}
+
+/* vals_to_u64x4(seq, ftype, modulus) -> bytes (n*32, little-endian rows)
+ * elements: exact ints (reduced mod modulus if out of range) or exact
+ * ftype instances (their .value, already reduced).  Returns None if an
+ * element is neither. */
+static PyObject *vals_to_u64x4(PyObject *self, PyObject *args) {
+    PyObject *seq, *ftype, *modulus;
+    if (!PyArg_ParseTuple(args, "OOO", &seq, &ftype, &modulus)) return NULL;
+    PyObject **items;
+    Py_ssize_t n;
+    if (PyList_CheckExact(seq)) {
+        items = ((PyListObject *)seq)->ob_item;
+        n = PyList_GET_SIZE(seq);
+    } else if (PyTuple_CheckExact(seq)) {
+        items = ((PyTupleObject *)seq)->ob_item;
+        n = PyTuple_GET_SIZE(seq);
+    } else {
+        PyErr_SetString(PyExc_TypeError, "expected list or tuple");
+        return NULL;
+    }
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n * 32);
+    if (!out) return NULL;
+    unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *v = items[i];
+        if (PyLong_CheckExact(v)) {
+            if (export_u64x4(v, modulus, dst + i * 32) < 0) goto fail;
+        } else if ((PyObject *)Py_TYPE(v) == ftype && ftype != Py_None) {
+            PyObject *val = get_value(v);
+            if (!val) goto fail;
+            int rc = export_u64x4(val, modulus, dst + i * 32);
+            Py_DECREF(val);
+            if (rc < 0) goto fail;
+        } else {
+            Py_DECREF(out);
+            Py_RETURN_NONE;
+        }
+    }
+    return out;
+fail:
+    Py_DECREF(out);
+    return NULL;
+}
+
+/* ed_pts_to_u64(seq, ptype) -> bytes (n*128: x,y,z,t each 32 LE bytes)
+ * Returns None if an element is not an exact ptype instance. */
+static PyObject *ed_pts_to_u64(PyObject *self, PyObject *args) {
+    PyObject *seq, *ptype;
+    if (!PyArg_ParseTuple(args, "OO", &seq, &ptype)) return NULL;
+    if (!PyList_CheckExact(seq)) {
+        PyErr_SetString(PyExc_TypeError, "expected list");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(seq);
+    PyObject *names[4];
+    names[0] = PyUnicode_InternFromString("x");
+    names[1] = PyUnicode_InternFromString("y");
+    names[2] = PyUnicode_InternFromString("z");
+    names[3] = PyUnicode_InternFromString("t");
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n * 128);
+    if (!out) goto fail0;
+    unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *p = PyList_GET_ITEM(seq, i);
+        if ((PyObject *)Py_TYPE(p) != ptype) {
+            Py_DECREF(out);
+            for (int j = 0; j < 4; j++) Py_XDECREF(names[j]);
+            Py_RETURN_NONE;
+        }
+        for (int j = 0; j < 4; j++) {
+            PyObject *c = PyObject_GetAttr(p, names[j]);
+            if (!c) goto fail;
+            if (!PyLong_Check(c)) {
+                Py_DECREF(c);
+                PyErr_SetString(PyExc_TypeError, "expected int coordinate");
+                goto fail;
+            }
+            int rc = _PyLong_AsByteArray((PyLongObject *)c,
+                                         dst + i * 128 + j * 32, 32, 1, 0);
+            Py_DECREF(c);
+            if (rc < 0) goto fail;
+        }
+    }
+    for (int j = 0; j < 4; j++) Py_XDECREF(names[j]);
+    return out;
+fail:
+    Py_DECREF(out);
+fail0:
+    for (int j = 0; j < 4; j++) Py_XDECREF(names[j]);
+    return NULL;
+}
+
+/* u64x4_to_ints(buffer) -> list of ints (32-byte little-endian rows) */
+static PyObject *u64x4_to_ints(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+    Py_ssize_t n = view.len / 32;
+    PyObject *out = PyList_New(n);
+    if (!out) { PyBuffer_Release(&view); return NULL; }
+    const unsigned char *src = view.buf;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *v = _PyLong_FromByteArray(src + i * 32, 32, 1, 0);
+        if (!v) { Py_DECREF(out); PyBuffer_Release(&view); return NULL; }
+        PyList_SET_ITEM(out, i, v);
+    }
+    PyBuffer_Release(&view);
+    return out;
+}
+
+/* u64_to_ed_pts(buffer, ptype) -> list of ptype(x, y, z, t)
+ * rows of 128 bytes: x,y,z,t each 32 LE bytes */
+static PyObject *u64_to_ed_pts(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    PyObject *ptype;
+    if (!PyArg_ParseTuple(args, "y*O", &view, &ptype)) return NULL;
+    Py_ssize_t n = view.len / 128;
+    PyObject *out = PyList_New(n);
+    if (!out) { PyBuffer_Release(&view); return NULL; }
+    const unsigned char *src = view.buf;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *coords[4] = {NULL, NULL, NULL, NULL};
+        int ok = 1;
+        for (int j = 0; j < 4; j++) {
+            coords[j] = _PyLong_FromByteArray(src + i * 128 + j * 32, 32, 1, 0);
+            if (!coords[j]) { ok = 0; break; }
+        }
+        PyObject *p = NULL;
+        if (ok)
+            p = PyObject_CallFunctionObjArgs(ptype, coords[0], coords[1],
+                                             coords[2], coords[3], NULL);
+        for (int j = 0; j < 4; j++) Py_XDECREF(coords[j]);
+        if (!p) { Py_DECREF(out); PyBuffer_Release(&view); return NULL; }
+        PyList_SET_ITEM(out, i, p);
+    }
+    PyBuffer_Release(&view);
+    return out;
+}
+
+/* ---------------------------------------------------------------- module */
+
+static PyMethodDef methods[] = {
+    {"encode_vals", encode_vals, METH_VARARGS,
+     "Transcript T_INT records for a list of ints / field elements."},
+    {"encode_ed_points", encode_ed_points, METH_VARARGS,
+     "Transcript T_ED records for a list of Edwards points."},
+    {"encode_bn_points", encode_bn_points, METH_VARARGS,
+     "Transcript T_BN records for a list of BN G1 points."},
+    {"vals_to_u64x4", vals_to_u64x4, METH_VARARGS,
+     "ints/field elements -> 32-byte little-endian rows."},
+    {"ed_pts_to_u64", ed_pts_to_u64, METH_VARARGS,
+     "Edwards points -> 128-byte rows (x,y,z,t)."},
+    {"u64x4_to_ints", u64x4_to_ints, METH_VARARGS,
+     "32-byte little-endian rows -> list of ints."},
+    {"u64_to_ed_pts", u64_to_ed_pts, METH_VARARGS,
+     "128-byte rows -> list of Edwards points."},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_fastser", NULL, -1, methods,
+};
+
+PyMODINIT_FUNC PyInit__fastser(void) {
+    str_value = PyUnicode_InternFromString("value");
+    if (!str_value) return NULL;
+    return PyModule_Create(&moduledef);
+}

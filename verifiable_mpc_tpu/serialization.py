@@ -142,20 +142,30 @@ def _encode(buf, obj):
         if isinstance(obj, Circuit):
             # structural encoding: gate list in construction order, O(gates)
             # — unlike print_circuit, which expands the DAG to a string and
-            # can be exponentially larger than the circuit
-            buf.write(bytes([T_CIRCUIT]))
-            buf.write(struct.pack(">I", len(obj.gates)))
+            # can be exponentially larger than the circuit.  Memoized on the
+            # circuit object (keyed by gate count — gates are append-only):
+            # a proof run hashes the same circuit in several transcripts.
+            cached = getattr(obj, "_enc_cache", None)
+            if cached is not None and cached[0] == len(obj.gates):
+                buf.write(cached[1])
+                return
+            sub = io.BytesIO()
+            sub.write(bytes([T_CIRCUIT]))
+            sub.write(struct.pack(">I", len(obj.gates)))
             for g in obj.gates:
-                _encode(buf, str(g.op))
+                _encode(sub, str(g.op))
                 _encode(
-                    buf,
+                    sub,
                     g.output.name
                     if isinstance(g.output, CircuitVar)
                     else g.output,
                 )
-                buf.write(struct.pack(">I", len(g.inputs)))
+                sub.write(struct.pack(">I", len(g.inputs)))
                 for i in g.inputs:
-                    _encode(buf, i.name if isinstance(i, CircuitVar) else i)
+                    _encode(sub, i.name if isinstance(i, CircuitVar) else i)
+            raw = sub.getvalue()
+            obj._enc_cache = (len(obj.gates), raw)
+            buf.write(raw)
         elif isinstance(obj, CircuitVar):
             _encode(buf, obj.name)
         else:
@@ -192,13 +202,63 @@ def _int_raw(v: int) -> bytes:
     return v.to_bytes((v.bit_length() + 8) // 8 or 1, "big", signed=True)
 
 
+def _fastser():
+    from . import native
+
+    return native.fastser()
+
+
 def _hash_list_fast(buf, obj) -> bool:
     """Tight-loop encoder for homogeneous lists (the transcript hot spot:
     generator vectors and form-coefficient vectors with 2^14+ entries).
     Emits BYTE-IDENTICAL output to the generic per-item path — pinned by
     the golden-transcript tests — but skips the per-item dispatch chain.
-    Writes nothing and returns False for inhomogeneous/unhandled lists."""
+    Writes nothing and returns False for inhomogeneous/unhandled lists.
+
+    Tries the C extension (native/_fastser.c) first; the pure-Python loops
+    below remain both the no-toolchain fallback and the oracle the C
+    encoder is tested against (tests/test_fastser.py)."""
     t0 = type(obj[0])
+    fs = _fastser()
+    if fs is not None and type(obj) is list:
+        if t0 is EdwardsPoint:
+            out = fs.encode_ed_points(obj, EdwardsPoint)
+            if out is not None:
+                buf.write(out)
+                return True
+            return False
+        if t0 is BNPoint:
+            out = fs.encode_bn_points(obj, BNPoint)
+            if out is not None:
+                buf.write(out)
+                return True
+            return False
+        if t0 is int or (
+            isinstance(obj[0], FiniteFieldElement)
+            and not isinstance(obj[0], QuadraticExtensionElement)
+        ):
+            if t0 is int:
+                ftype, half, modulus = None, None, 0
+            else:
+                ftype = t0
+                half = t0.modulus // 2 if t0.is_signed else None
+                modulus = t0.modulus
+            r = fs.encode_vals(obj, ftype, half, modulus)
+            if r is not None and type(r) is not bytes:
+                # mixed list led by ints: retry with the first non-int's type
+                rt = type(r)
+                if isinstance(r, FiniteFieldElement) and not isinstance(
+                    r, QuadraticExtensionElement
+                ):
+                    half = rt.modulus // 2 if rt.is_signed else None
+                    r = fs.encode_vals(obj, rt, half, rt.modulus)
+                else:
+                    r = None
+            if type(r) is bytes:
+                buf.write(r)
+                return True
+            # None: multiple field types etc. — the per-type-cache loop
+            # below still handles it
     out = bytearray()
     if t0 is int or (
         isinstance(obj[0], FiniteFieldElement)
