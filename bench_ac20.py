@@ -45,6 +45,11 @@ def main():
     parser.add_argument("--log2-muls", type=int, default=10)
     parser.add_argument("--tpu", action="store_true")
     parser.add_argument("--pure-python", action="store_true")
+    parser.add_argument(
+        "--transcript", choices=["v1", "v2"], default="v1",
+        help="v2: chained round challenges + fold-free verifier "
+        "(faster, NOT reference-parity)",
+    )
     args = parser.parse_args()
 
     if args.tpu:
@@ -80,11 +85,13 @@ def main():
         generators = cs.create_generators(g_length, cs.PivotChoice.compressed, group)
     with phases.phase("prove"):
         proof = cs.circuit_sat_prover(
-            generators, circuit, x, gf, cs.PivotChoice.compressed
+            generators, circuit, x, gf, cs.PivotChoice.compressed,
+            transcript=args.transcript,
         )
     with phases.phase("verify"):
         verification = cs.circuit_sat_verifier(
-            proof, generators, circuit, gf, cs.PivotChoice.compressed
+            proof, generators, circuit, gf, cs.PivotChoice.compressed,
+            transcript=args.transcript,
         )
 
     ok = all(
@@ -102,6 +109,7 @@ def main():
                 "value": round(phases.durations["prove"], 3),
                 "unit": "s",
                 "backend": backend,
+                "transcript": args.transcript,
                 "verified": ok,
             }
         )

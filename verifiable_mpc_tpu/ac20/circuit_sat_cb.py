@@ -212,15 +212,20 @@ def protocol_8_excl_pivot_verifier(proof, circuit, gf, use_koe=False):
     return verification, L
 
 
-def circuit_sat_prover(generators, circuit, x, gf, pivot_choice=PivotChoice.compressed):
-    """Protocol 8 prover with pivot dispatch (reference :255-282)."""
+def circuit_sat_prover(generators, circuit, x, gf, pivot_choice=PivotChoice.compressed,
+                       transcript="v1"):
+    """Protocol 8 prover with pivot dispatch (reference :255-282).
+
+    transcript="v2" (compressed pivot only) uses chained round challenges —
+    smaller hashes and a fold-free verifier; NOT reference-parity."""
     proof, z_commitment, L, z, gamma = protocol_8_excl_pivot_prover(
         generators, circuit, x, gf
     )
 
     if pivot_choice == PivotChoice.compressed:
         pivot_proof = compressed_pivot.protocol_5_prover(
-            generators, z_commitment, L, pivot.form_eval(L, z, gf), z, gamma, gf
+            generators, z_commitment, L, pivot.form_eval(L, z, gf), z, gamma,
+            gf, transcript=transcript,
         )
     elif pivot_choice == PivotChoice.pivot:
         g = generators["g"]
@@ -239,7 +244,8 @@ def circuit_sat_prover(generators, circuit, x, gf, pivot_choice=PivotChoice.comp
     return proof
 
 
-def circuit_sat_verifier(proof, generators, circuit, gf, pivot_choice=PivotChoice.compressed):
+def circuit_sat_verifier(proof, generators, circuit, gf, pivot_choice=PivotChoice.compressed,
+                         transcript="v1"):
     """Protocol 8 verifier with pivot dispatch (reference :285-318)."""
     verification, L = protocol_8_excl_pivot_verifier(proof, circuit, gf)
 
@@ -247,7 +253,8 @@ def circuit_sat_verifier(proof, generators, circuit, gf, pivot_choice=PivotChoic
         z_commitment = proof["z_commitment"]
         pivot_proof = proof["pivot_proof"]
         pivot_verification = compressed_pivot.protocol_5_verifier(
-            generators, z_commitment, L, 0, pivot_proof, gf
+            generators, z_commitment, L, 0, pivot_proof, gf,
+            transcript=transcript,
         )
     elif pivot_choice == PivotChoice.pivot:
         z_commitment = proof["z_commitment"]

@@ -530,7 +530,8 @@ def protocol_8_excl_pivot_verifier(proof, code, gf, use_koe=False):
     return verification, L
 
 
-def circuit_sat_prover(generators, code, x, gf, pivot_choice=PivotChoice.compressed):
+def circuit_sat_prover(generators, code, x, gf, pivot_choice=PivotChoice.compressed,
+                       transcript="v1"):
     """Protocol 8 prover with pivot dispatch (reference :591-618)."""
     proof, z_commitment, L, z, gamma = protocol_8_excl_pivot_prover(
         generators, code, x, gf
@@ -538,7 +539,8 @@ def circuit_sat_prover(generators, code, x, gf, pivot_choice=PivotChoice.compres
 
     if pivot_choice == PivotChoice.compressed:
         pivot_proof = compressed_pivot.protocol_5_prover(
-            generators, z_commitment, L, pivot.form_eval(L, z, gf), z, gamma, gf
+            generators, z_commitment, L, pivot.form_eval(L, z, gf), z, gamma,
+            gf, transcript=transcript,
         )
     elif pivot_choice == PivotChoice.pivot:
         g = generators["g"]
@@ -557,7 +559,8 @@ def circuit_sat_prover(generators, code, x, gf, pivot_choice=PivotChoice.compres
     return proof
 
 
-def circuit_sat_verifier(proof, generators, code, gf, pivot_choice=PivotChoice.compressed):
+def circuit_sat_verifier(proof, generators, code, gf, pivot_choice=PivotChoice.compressed,
+                         transcript="v1"):
     """Protocol 8 verifier with pivot dispatch (reference :621-654)."""
     verification, L = protocol_8_excl_pivot_verifier(proof, code, gf)
 
@@ -565,7 +568,8 @@ def circuit_sat_verifier(proof, generators, code, gf, pivot_choice=PivotChoice.c
         z_commitment = proof["z_commitment"]
         pivot_proof = proof["pivot_proof"]
         pivot_verification = compressed_pivot.protocol_5_verifier(
-            generators, z_commitment, L, 0, pivot_proof, gf
+            generators, z_commitment, L, 0, pivot_proof, gf,
+            transcript=transcript,
         )
     elif pivot_choice == PivotChoice.pivot:
         z_commitment = proof["z_commitment"]

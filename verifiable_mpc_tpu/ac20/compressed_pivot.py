@@ -44,6 +44,27 @@ def _round_challenge(A, B, g_hat, k, Q, L_tilde, order):
     return c
 
 
+def _round_challenge_v2(A, B, c_prev, order):
+    """Chained round challenge of the v2 transcript: binds only the round's
+    new messages (A, B) plus the previous challenge.
+
+    Soundness: c_prev transitively binds the whole prior transcript (the
+    protocol-5 first hash covers t, A, generators, P, L, y; each round binds
+    the one before), and g_hat / Q / L_tilde are deterministic functions of
+    that prior transcript — re-hashing them each round (the reference's
+    v1 shape) adds bytes but no binding.  NOT parity-compatible with the
+    reference; opt-in via transcript="v2" (see docs/TRANSCRIPTS.md)."""
+    if is_elliptic(A):
+        input_list = [A.normalize(), B.normalize(), c_prev]
+    else:
+        input_list = [A, B, c_prev]
+    input_list.append("Round hash of compressed pivot v2")
+    logger_cp_hin.debug("protocol_4 v2 round: input_list=\n%s", input_list)
+    c = pivot.fiat_shamir_hash(input_list, order)
+    logger_cp_hout.debug("After hash, hash=\n%s", c)
+    return c
+
+
 def _fold_form(L_tilde, c, gf):
     """L' = c*L_left + L_right (reference :70-73)."""
     assert (
@@ -69,13 +90,19 @@ def _eval_masked(L_tilde, vals, side, half, gf):
     return L_tilde(list(vals) + [0] * half)
 
 
-def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0):
-    """Prover of Protocol 4, iterative (reference :29-86)."""
+def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0,
+                      transcript="v1", c_prev=0):
+    """Prover of Protocol 4, iterative (reference :29-86).
+
+    transcript="v2" switches to the chained round challenges of
+    :func:`_round_challenge_v2` (skips re-hashing g_hat/Q/L_tilde); c_prev
+    seeds the chain (protocol 5 passes c1)."""
     proof = {} if proof is None else proof
     from . import pivot_native
 
     res = pivot_native.try_protocol_4_prover(
-        g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i
+        g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
+        transcript=transcript, c_prev=c_prev,
     )
     if res is not None:
         return res
@@ -94,7 +121,10 @@ def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0):
         proof["A" + str(round_i)] = A
         proof["B" + str(round_i)] = B
 
-        c = _round_challenge(A, B, g_hat, k, Q, L_tilde, order)
+        if transcript == "v2":
+            c = c_prev = _round_challenge_v2(A, B, c_prev, order)
+        else:
+            c = _round_challenge(A, B, g_hat, k, Q, L_tilde, order)
 
         logger_cp.debug("Calculate g_prime, Q_prime.")
         g_hat = fold_generators(g_hat_l, g_hat_r, c)
@@ -110,10 +140,49 @@ def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0):
         round_i += 1
 
 
-def protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i=0):
+def protocol_4_verifier_v2(g_hat, k, Q, L_tilde, gf, proof, c_prev):
+    """v2-transcript verifier: since the round challenges depend only on
+    (A_i, B_i, previous challenge), ALL challenges are computable up front
+    with no group work — the log2(n) generator folds of the v1 verifier
+    (its dominant cost) collapse into ONE exponent-product MSM over the
+    initial generators (Bulletproofs-style final-generator evaluation)."""
+    from ..ops.dispatch import multiexp
+
+    order = k.order
+    n1 = len(g_hat)
+    rounds = max(n1.bit_length() - 2, 0)  # fold until length 2
+
+    cs = []
+    for r in range(rounds):
+        A, B = proof["A" + str(r)], proof["B" + str(r)]
+        c_prev = _round_challenge_v2(A, B, c_prev, order)
+        cs.append(c_prev)
+        Q = A * (Q ** c_prev) * (B ** (c_prev ** 2))
+        L_tilde = _fold_form(L_tilde, c_prev, gf)
+
+    # exponent of original generator j in the final vector:
+    # prod over rounds r of (c_r if bit_{K-1-r}(j) == 0 else 1); the final
+    # slot is j's LSB.  Built by doubling with challenges in REVERSE round
+    # order so round r's bit lands at significance K-2-r of the index j>>1
+    # (round 0 splits on j's MSB).
+    E = [1]
+    for c in reversed(cs):
+        E = [(c * e) % order for e in E] + E
+    g_fin = [multiexp(g_hat[0::2], E), multiexp(g_hat[1::2], E)]
+    z_prime = proof["z_prime"]
+    Q_check = pivot.vector_commitment(z_prime, int(L_tilde(z_prime)), g_fin, k)
+    logger_cp.debug("Q_check= %s", Q_check)
+    logger_cp.debug("Q_prime= %s", Q)
+    return Q_check == Q
+
+
+def protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i=0,
+                        transcript="v1", c_prev=0):
     """Verifier of Protocol 4, iterative (reference :148-202)."""
     from . import pivot_native
 
+    if transcript == "v2":
+        return protocol_4_verifier_v2(g_hat, k, Q, L_tilde, gf, proof, c_prev)
     res = pivot_native.try_protocol_4_verifier(
         g_hat, k, Q, L_tilde, gf, proof, round_i
     )
@@ -172,7 +241,7 @@ def _first_hash(t, A, generators, P, L, y, order):
     return c0, c1
 
 
-def protocol_5_prover(generators, P, L, y, x, gamma, gf):
+def protocol_5_prover(generators, P, L, y, x, gamma, gf, transcript="v1"):
     """Prover of Protocol 5 (reference :89-145)."""
     g, h, k = generators["g"], generators["h"], generators["k"]
 
@@ -213,10 +282,13 @@ def protocol_5_prover(generators, P, L, y, x, gamma, gf):
         ltz = L_tilde(z_hat)
     assert lz * c1 == ltz
 
-    return protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof)
+    return protocol_4_prover(
+        g_hat, k, Q, L_tilde, z_hat, gf, proof,
+        transcript=transcript, c_prev=c1,
+    )
 
 
-def protocol_5_verifier(generators, P, L, y, proof, gf):
+def protocol_5_verifier(generators, P, L, y, proof, gf, transcript="v1"):
     """Verifier of Protocol 5 (reference :205-239)."""
     g, h, k = generators["g"], generators["h"], generators["k"]
 
@@ -233,4 +305,6 @@ def protocol_5_verifier(generators, P, L, y, proof, gf):
     Q = A * (P ** c0) * (k ** int(c1 * (c0 * y + t)))
     L_tilde = _scaled_l_tilde(L, c1, gf)
 
-    return protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof)
+    return protocol_4_verifier(
+        g_hat, k, Q, L_tilde, gf, proof, transcript=transcript, c_prev=c1
+    )

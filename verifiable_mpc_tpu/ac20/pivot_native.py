@@ -152,7 +152,8 @@ def _commit(g_half, z_half, y_can, k_arr, k_pt) -> EdwardsPoint:
     return dispatch._host_multiexp(bases, exps)
 
 
-def try_protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i):
+def try_protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
+                          transcript="v1", c_prev=0):
     """Resident prover loop; None if the inputs don't qualify."""
     if not _engine_ok(g_hat, k, gf):
         return None
@@ -179,7 +180,14 @@ def try_protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i):
         proof["A" + str(round_i)] = A
         proof["B" + str(round_i)] = B
 
-        c = _round_challenge_resident(A, B, g_arr, k, Q, l_arr, order, l_obj)
+        if transcript == "v2":
+            from .compressed_pivot import _round_challenge_v2
+
+            c = c_prev = _round_challenge_v2(A, B, c_prev, order)
+        else:
+            c = _round_challenge_resident(
+                A, B, g_arr, k, Q, l_arr, order, l_obj
+            )
         l_obj = None  # folded coefficients are reduced gf from round 1 on
 
         c4 = native._ints_to_u64x4([c], ELL)
