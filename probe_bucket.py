@@ -53,16 +53,14 @@ def main():
     # windowed bench excludes digit prep)
     curve = mb.mp.ED
     dt, lanes, nw = 8, mb.LANES, mb.NW8
+    n_ext = n + 1  # n is a power of two already
     pts_ext = curve.encode(pts + [EdwardsPoint.identity])
+    step = mb._gather_step_call(curve, n_ext, dt, nw, lanes, False)
 
     def run(perm, sgn, d):
-        ents = mb._prep_call(curve, n + 1, nw, d, dt, lanes)(
-            pts_ext, jnp.asarray(perm), jnp.asarray(sgn)
-        )
         acc = mb._acc_init(curve, nw, lanes)()
-        step = mb._accum_call(curve, dt, nw, lanes, False)
-        for sg, tiles in ents:
-            acc = step(sg, tiles, acc)
+        for idx, sg in mb._step_arrays(perm, sgn, n_ext, dt):
+            acc = step(pts_ext, jnp.asarray(idx), jnp.asarray(sg), acc)
         out = mb._reduce_call(curve, nw, lanes, False)(acc)
         return [np.asarray(a) for a in out]
 

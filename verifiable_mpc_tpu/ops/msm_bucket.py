@@ -27,6 +27,18 @@ commitments (reference pivot.py:139-145), protocol-4 A/B MSMs
 (compressed_pivot.py:41-42), Pinocchio proof/key MSMs
 (pynocchio.py:101-200, :228-273).  Curve-generic over the same adapters
 (ED / BN / BN2).
+
+MEASURED VERDICT (probe_bucket.py / probe_bucket_diag.py on the v5e
+tunnel): correct but 40x SLOWER than the windowed kernel at n=2^14
+(2.7k vs 109k points/s).  The algorithmic ~1.9x saving in group adds is
+swamped by the data-dependent point permutation: XLA row-gathers of
+[dt=8, 32, 128] x 16-u32 rows run at ~150 MB/s effective (113 ms/step
+where the whole step's group math is ~4 ms), and each small host->device
+index upload costs ~28 ms of tunnel latency.  The windowed kernel's
+single sequential pass + in-VMEM digit select is the right shape for this
+memory system.  Kept unregistered: correctness-tested reference for a
+future sparsecore/DMA-pipelined gather (pltpu.make_async_copy with
+SMEM-driven offsets could hide the permutation behind compute).
 """
 
 from __future__ import annotations
@@ -41,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import dispatch
 from . import msm_pallas as mp
-from .msm import NWINDOWS, _scalar_digits
+from .msm import NWINDOWS, _pow2_pad, _scalar_digits
 
 L = mp.L
 WINDOW8 = 8
@@ -224,6 +236,29 @@ def _accum_call(curve, dt: int, nw: int, lanes: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _gather_step_call(curve, n_ext: int, dt: int, nw: int, lanes: int,
+                      interpret: bool):
+    """One fused XLA program per (curve, n_ext): gather the step's bucket
+    slots from the resident point array and run the accumulate kernel.
+
+    The per-step gather is small ([dt, nw, lanes] indices); a whole-MSM
+    prep program (gather + transpose + per-step slicing in one jit) made
+    XLA materialize multi-GB padded temporaries and OOMed HBM at 2^14."""
+    call = _accum_pallas(curve, dt, nw, lanes, interpret)
+
+    def step(pts_ext, idx, sgn, acc):
+        # idx [dt, nw, lanes] int32, identity padding already mapped to
+        # n_ext - 1 on the host
+        ents = []
+        for a in pts_ext:  # [n_ext, L] batch-major
+            g = a[idx]  # [dt, nw, lanes, L]
+            ents.append(jnp.transpose(g, (0, 3, 1, 2)))  # [dt, L, nw, lanes]
+        return tuple(call(sgn, *ents, *acc))
+
+    return jax.jit(step, donate_argnums=(3,))
+
+
+@functools.lru_cache(maxsize=None)
 def _reduce_pallas(curve, nw: int, lanes: int, interpret: bool):
     nc = curve.NC
     out_shape = jax.ShapeDtypeStruct((L, lanes), jnp.uint32)
@@ -257,28 +292,22 @@ def _acc_init(curve, nw: int, lanes: int):
     return jax.jit(init)
 
 
-@functools.lru_cache(maxsize=None)
-def _prep_call(curve, n_ext: int, nw: int, d: int, dt: int, lanes: int):
-    """Gather host-ordered bucket slots into per-depth-tile kernel inputs.
-
-    Identity padding rides as index n_ext-1 (the caller appends the identity
-    point to the encoded array), so the gather needs no masking."""
+def _step_arrays(perm, sgn, n_ext: int, dt: int):
+    """Host-side per-step index/sign tiles: [NW, D, lanes] -> list of
+    ([dt, NW, lanes] idx, [dt, NW, lanes] sgn), identity slots -> n_ext-1."""
+    idx = np.where(perm < 0, np.int32(n_ext - 1), perm)
+    nw, d, lanes = idx.shape
     steps = d // dt
-
-    def prep(pts_ext, perm, sgn):
-        idx = jnp.where(perm < 0, n_ext - 1, perm)  # [NW, D, lanes]
-        tiles = []
-        for a in pts_ext:  # [n_ext, L] batch-major
-            g = a[idx]  # [NW, D, lanes, L]
-            g = jnp.transpose(g, (1, 3, 0, 2))  # [D, L, NW, lanes]
-            tiles.append(g.reshape(steps, dt, L, nw, lanes))
-        sg = jnp.transpose(sgn, (1, 0, 2)).reshape(steps, dt, nw, lanes)
-        ents = [
-            (sg[i], tuple(t[i] for t in tiles)) for i in range(steps)
-        ]
-        return ents
-
-    return jax.jit(prep)
+    out = []
+    for s in range(steps):
+        sl = slice(s * dt, (s + 1) * dt)
+        out.append(
+            (
+                np.ascontiguousarray(idx[:, sl].transpose(1, 0, 2)),
+                np.ascontiguousarray(sgn[:, sl].transpose(1, 0, 2)),
+            )
+        )
+    return out
 
 
 def _msm_bucket_generic(curve, points, scalars, dt: int = 8,
@@ -299,15 +328,17 @@ def _msm_bucket_generic(curve, points, scalars, dt: int = 8,
     digits = digits[NW8 - nw:]
 
     perm, sgn, d = _bucket_layout(digits, dt, lanes)
-    pts_ext = curve.encode(list(points) + [curve.group_cls.identity])
-
-    ents = _prep_call(curve, n + 1, nw, d, dt, lanes)(
-        pts_ext, jnp.asarray(perm), jnp.asarray(sgn)
+    # pad the resident point array to a power of two (+1 identity row) so
+    # the fused gather+accumulate program compiles once per pow2 size
+    n_ext = (_pow2_pad(n, 1) if not interpret else n) + 1
+    pts_ext = curve.encode(
+        list(points) + [curve.group_cls.identity] * (n_ext - n)
     )
-    step_fn = _accum_call(curve, dt, nw, lanes, interpret)
+
+    step_fn = _gather_step_call(curve, n_ext, dt, nw, lanes, interpret)
     acc = _acc_init(curve, nw, lanes)()
-    for sg, tiles in ents:
-        acc = step_fn(sg, tiles, acc)
+    for idx, sg in _step_arrays(perm, sgn, n_ext, dt):
+        acc = step_fn(pts_ext, jnp.asarray(idx), jnp.asarray(sg), acc)
     out = _reduce_call(curve, nw, lanes, interpret)(acc)
     return curve.decode_one(out)
 
