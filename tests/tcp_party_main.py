@@ -1,6 +1,7 @@
 """Subprocess entry for the TCP transport test: one MPC party.
 
-Usage: python tcp_party_main.py <pid> <m> <port> [--tls CERTDIR] [--chaos]
+Usage: python tcp_party_main.py <pid> <m> <port> [--tls CERTDIR]
+       [--pin CERTDIR] [--chaos]
 Runs a secure multiplication, a comparison gadget, and a secure-group
 commitment over TCP, then prints the opened results.  ``--tls`` enables
 mutually-authenticated TLS using CERTDIR/party.crt|party.key|ca.crt;
@@ -67,6 +68,15 @@ if __name__ == "__main__":
             certfile=os.path.join(certdir, "party.crt"),
             keyfile=os.path.join(certdir, "party.key"),
             cafile=os.path.join(certdir, "ca.crt"),
+        )
+    if "--pin" in sys.argv:
+        # per-party certificates with CN=vmpc-party-<pid>, pinning on
+        certdir = sys.argv[sys.argv.index("--pin") + 1]
+        tls = dict(
+            certfile=os.path.join(certdir, f"party{pid}.crt"),
+            keyfile=os.path.join(certdir, f"party{pid}.key"),
+            cafile=os.path.join(certdir, "ca.crt"),
+            pin=True,
         )
     chaos = "--chaos" in sys.argv
     rc = run_tcp_party(lambda: party(chaos), pid, m, base_port=port, tls=tls)

@@ -143,3 +143,121 @@ def test_tcp_tls_mutual_auth(tmp_path):
     _run_parties(
         3, 25150 + random.Random().randrange(200), ("--tls", certdir)
     )
+
+
+def _make_pinned_certs(tmpdir, m=3, wrong_pid=None):
+    """A CA plus per-party certificates with CN=vmpc-party-<pid>.
+    wrong_pid: issue that party a certificate claiming a different id."""
+    ca_crt = os.path.join(tmpdir, "ca.crt")
+    ca_key = os.path.join(tmpdir, "ca.key")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", ca_key, "-out", ca_crt, "-days", "1",
+         "-subj", "/CN=vmpc-ca"],
+        check=True, capture_output=True,
+    )
+    for pid in range(m):
+        cn = pid if pid != wrong_pid else (pid + 1) % m
+        key = os.path.join(tmpdir, f"party{pid}.key")
+        csr = os.path.join(tmpdir, f"party{pid}.csr")
+        crt = os.path.join(tmpdir, f"party{pid}.crt")
+        subprocess.run(
+            ["openssl", "req", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", key, "-out", csr, "-subj", f"/CN=vmpc-party-{cn}"],
+            check=True, capture_output=True,
+        )
+        subprocess.run(
+            ["openssl", "x509", "-req", "-in", csr, "-CA", ca_crt,
+             "-CAkey", ca_key, "-CAcreateserial", "-out", crt, "-days", "1"],
+            check=True, capture_output=True,
+        )
+    return tmpdir
+
+
+def test_tcp_tls_pinned_parties(tmp_path):
+    """Three parties with per-party pinned certificates."""
+    import shutil
+
+    if shutil.which("openssl") is None:
+        pytest.skip("no openssl binary")
+    certdir = _make_pinned_certs(str(tmp_path))
+    _run_parties(
+        3, 25400 + random.Random().randrange(200), ("--pin", certdir)
+    )
+
+
+def test_tcp_pin_rejects_wrong_identity(tmp_path):
+    """A CA-signed certificate claiming the wrong party id must be refused
+    at connect time (in-process: two hubs, one mislabeled)."""
+    import asyncio
+    import shutil
+
+    if shutil.which("openssl") is None:
+        pytest.skip("no openssl binary")
+    from verifiable_mpc_tpu.mpc.transport import TcpHub
+
+    certdir = _make_pinned_certs(str(tmp_path), m=2, wrong_pid=1)
+    port = 25700 + random.Random().randrange(200)
+
+    def tls_for(pid):
+        return dict(
+            certfile=os.path.join(certdir, f"party{pid}.crt"),
+            keyfile=os.path.join(certdir, f"party{pid}.key"),
+            cafile=os.path.join(certdir, "ca.crt"),
+            pin=True,
+        )
+
+    async def main():
+        hub0 = TcpHub(0, 2, port, tls=tls_for(0))
+        hub1 = TcpHub(1, 2, port, tls=tls_for(1))  # cert claims party 0
+        t0 = asyncio.create_task(hub0.ensure_started())
+        # party 1 dials party 0; its mislabeled cert must be rejected by
+        # hub0's server and hub1 must never attach a link
+        t1 = asyncio.create_task(hub1.ensure_started())
+        done, pending = await asyncio.wait({t0, t1}, timeout=8)
+        attached = any(
+            l.writer is not None for l in hub0._links.values()
+        ) and any(l.writer is not None for l in hub1._links.values())
+        for t in (t0, t1):
+            t.cancel()
+        await hub0.close()
+        await hub1.close()
+        return attached
+
+    assert asyncio.run(main()) is False
+
+
+def test_replay_buffer_bounded():
+    """Past max_unacked_bytes the sender requests an immediate ack (PING),
+    keeping the replay buffer bounded on one-directional streams."""
+    import asyncio
+
+    from verifiable_mpc_tpu.mpc.transport import TcpHub
+
+    port = 25900 + random.Random().randrange(200)
+
+    async def main():
+        hub0 = TcpHub(0, 2, port, max_unacked_bytes=4096)
+        hub1 = TcpHub(1, 2, port, max_unacked_bytes=4096)
+        await asyncio.gather(hub0.ensure_started(), hub1.ensure_started())
+        payload = list(range(64))  # ~few hundred wire bytes per frame
+        for i in range(512):
+            hub1.send(1, 0, ("op", i), payload)
+            if i % 64 == 0:
+                await asyncio.sleep(0.01)  # let acks flow
+        for _ in range(200):
+            await asyncio.sleep(0.01)
+            if hub1._links[0].unacked_bytes <= 4096 * 2:
+                break
+        bounded = hub1._links[0].unacked_bytes <= 4096 * 2
+        # the receiver got everything exactly once
+        got = 0
+        for i in range(512):
+            val = await asyncio.wait_for(hub0.recv(0, 1, ("op", i)), 10)
+            assert val == payload
+            got += 1
+        await hub0.close()
+        await hub1.close()
+        return bounded and got == 512
+
+    assert asyncio.run(main()) is True

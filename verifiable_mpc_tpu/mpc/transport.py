@@ -14,30 +14,58 @@ party aborts the run, SURVEY.md §5.3):
 * **TLS**: pass ``tls=dict(certfile=..., keyfile=..., cafile=...)`` for
   mutually-authenticated TLS between parties (one shared CA; hostname
   checking is off because parties are addressed by pid/port).
+* **Per-party certificate pinning**: add ``pin=True`` to the tls dict (and
+  issue each party a certificate whose CN is ``<pin_prefix><pid>``,
+  default prefix ``vmpc-party-``).  Without pinning, any CA-signed
+  certificate can claim any party id in the hello frame; with it, both
+  sides verify the TLS identity matches the claimed/ dialed pid before
+  attaching the link.
 * **Reconnection with replay**: every frame carries a per-peer sequence
   number; receivers dedup and acknowledge periodically, senders buffer
   unacknowledged frames and replay them after re-establishing a dropped
   connection (the higher pid reconnects; the listener accepts the
   replacement).  A transient network failure mid-protocol is therefore
   survivable instead of fatal.
+* **Bounded replay buffers**: senders track unacknowledged bytes; past
+  ``max_unacked_bytes`` they request an immediate acknowledgement (PING
+  frame) instead of waiting for the receiver's every-N cadence, so
+  long one-directional streams cannot grow the replay buffer without
+  bound while the peer is alive.
 """
 
 from __future__ import annotations
 
 import asyncio
+import logging
 import struct
 
 from .. import serialization
 from . import shamir
 from .runtime import Runtime, _ctx_runtime
 
+logger = logging.getLogger("mpc_transport")
+
 _ACK_EVERY = 256  # receiver acks every N frames (and on reconnect)
 _RECONNECT_TRIES = 100
 _RECONNECT_DELAY = 0.1
+_MAX_UNACKED_BYTES = 64 * 1024 * 1024
 
 _F_DATA = 0
 _F_ACK = 1
 _F_HELLO = 2
+_F_PING = 3  # "ack me now" — bounds the sender's replay buffer
+
+
+def _peer_common_name(writer) -> str | None:
+    """CN of the peer's TLS certificate, None without TLS."""
+    cert = writer.get_extra_info("peercert")
+    if not cert:
+        return None
+    for rdn in cert.get("subject", ()):
+        for key, value in rdn:
+            if key == "commonName":
+                return value
+    return None
 
 
 def make_tls_contexts(certfile: str, keyfile: str, cafile: str):
@@ -58,7 +86,8 @@ def make_tls_contexts(certfile: str, keyfile: str, cafile: str):
 class _PeerLink:
     """Send/receive state for one peer: sequence numbers, replay buffer."""
 
-    __slots__ = ("writer", "send_seq", "unacked", "recv_seq", "since_ack")
+    __slots__ = ("writer", "send_seq", "unacked", "recv_seq", "since_ack",
+                 "unacked_bytes", "ping_sent")
 
     def __init__(self):
         self.writer = None
@@ -66,15 +95,19 @@ class _PeerLink:
         self.unacked = {}  # seq -> wire bytes (replayed on reconnect)
         self.recv_seq = 0  # next expected sequence from the peer
         self.since_ack = 0
+        self.unacked_bytes = 0
+        self.ping_sent = False
 
 
 class TcpHub:
     def __init__(self, pid: int, m: int, base_port: int = 23265,
-                 host: str = "127.0.0.1", tls: dict | None = None):
+                 host: str = "127.0.0.1", tls: dict | None = None,
+                 max_unacked_bytes: int = _MAX_UNACKED_BYTES):
         self.pid = pid
         self.m = m
         self.base_port = base_port
         self.host = host
+        self.max_unacked_bytes = max_unacked_bytes
         self._boxes = {}  # (src, op_key) -> Future
         self._links = {p: _PeerLink() for p in range(m) if p != pid}
         self._server = None
@@ -82,10 +115,28 @@ class TcpHub:
         self._started = False
         self._ssl_server = None
         self._ssl_client = None
+        self._pin_prefix = None
         if tls is not None:
             self._ssl_server, self._ssl_client = make_tls_contexts(
                 tls["certfile"], tls["keyfile"], tls["cafile"]
             )
+            if tls.get("pin"):
+                self._pin_prefix = tls.get("pin_prefix", "vmpc-party-")
+
+    def _check_pin(self, peer: int, writer) -> bool:
+        """Verify the TLS peer identity matches the party id (pin mode)."""
+        if self._pin_prefix is None:
+            return True
+        cn = _peer_common_name(writer)
+        expect = f"{self._pin_prefix}{peer}"
+        if cn != expect:
+            logger.warning(
+                "party %d: rejecting link claiming pid %d with TLS CN %r "
+                "(expected %r)", self.pid, peer, cn, expect,
+            )
+            writer.transport.abort()
+            return False
+        return True
 
     # -- connection management --------------------------------------------
     async def ensure_started(self):
@@ -97,6 +148,9 @@ class TcpHub:
 
         async def on_connect(reader, writer):
             peer = struct.unpack(">I", await reader.readexactly(4))[0]
+            if peer not in self._links or not self._check_pin(peer, writer):
+                writer.transport.abort()
+                return
             self._attach(peer, reader, writer)
 
         self._server = await asyncio.start_server(
@@ -121,6 +175,10 @@ class TcpHub:
         else:
             raise ConnectionError(
                 f"party {self.pid} cannot reach party {peer}"
+            )
+        if not self._check_pin(peer, writer):
+            raise ConnectionError(
+                f"party {self.pid}: peer {peer} failed certificate pinning"
             )
         writer.write(struct.pack(">I", self.pid))
         self._attach(peer, reader, writer)
@@ -150,7 +208,15 @@ class TcpHub:
                 if kind == _F_ACK:
                     for s in list(link.unacked):
                         if s < seq:
-                            del link.unacked[s]
+                            link.unacked_bytes -= len(link.unacked.pop(s))
+                    link.ping_sent = False
+                    if link.unacked_bytes > self.max_unacked_bytes:
+                        # still over the cap (frames landed after the acked
+                        # prefix): keep the ping/ack loop going until drained
+                        self._send_ping(link)
+                    continue
+                if kind == _F_PING:
+                    self._send_ack(peer)
                     continue
                 if seq < link.recv_seq:
                     continue  # replayed duplicate
@@ -176,6 +242,15 @@ class TcpHub:
             self._send_ack(peer)  # tell the peer what we have
         except ConnectionError:
             pass  # unreachable: pending recv futures keep the run blocked
+
+    def _send_ping(self, link):
+        if link.writer is None or link.ping_sent:
+            return
+        try:
+            link.writer.write(struct.pack(">BQI", _F_PING, 0, 0))
+            link.ping_sent = True
+        except (ConnectionResetError, OSError):
+            pass
 
     def _send_ack(self, peer: int):
         link = self._links[peer]
@@ -213,12 +288,17 @@ class TcpHub:
         link.send_seq += 1
         wire = struct.pack(">BQI", _F_DATA, seq, len(frame)) + frame
         link.unacked[seq] = wire
+        link.unacked_bytes += len(wire)
         writer = link.writer
         if writer is not None:
             try:
                 writer.write(wire)
             except (ConnectionResetError, OSError):
-                pass  # replayed after reconnect
+                return  # replayed after reconnect
+            if link.unacked_bytes > self.max_unacked_bytes:
+                # request an immediate ack so the replay buffer stays
+                # bounded on long one-directional streams
+                self._send_ping(link)
 
     async def recv(self, dst, src, op_id):
         fut = self._box(src, self._key(op_id))
