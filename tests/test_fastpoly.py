@@ -75,3 +75,26 @@ def test_batch_inverse():
     xs = [rng.randrange(1, P) for _ in range(37)]
     invs = fp.batch_inverse(xs, P)
     assert all(x * i % P == 1 for x, i in zip(xs, invs))
+
+
+def test_shift_evaluations_native_matches_python():
+    """The C implementation (native/modvec.cc vmpc_shift_evaluations) must
+    agree with the pure-Python closed form on the same inputs."""
+    from verifiable_mpc_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C toolchain")
+    m = 260  # above _FAST_THRESHOLD: the dispatcher takes the C path
+    vals = [rng.randrange(P) for _ in range(m + 1)]
+    for base, target, count in ((1, 0, 1), (1, m + 2, m - 1), (5, 300, 40)):
+        got = fp.shift_evaluations(vals, base, target, count, P)
+        # force the pure-Python branch via the threshold guard
+        saved = fp._FAST_THRESHOLD
+        fp._FAST_THRESHOLD = 1 << 30
+        try:
+            expect = fp.shift_evaluations(vals, base, target, count, P)
+        finally:
+            fp._FAST_THRESHOLD = saved
+        assert got == expect

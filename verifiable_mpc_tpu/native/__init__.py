@@ -114,6 +114,10 @@ def load():
     lib.vmpc_modvec_hash_encode_signed.argtypes = [
         u64p, u64p, ctypes.c_uint64, u8p, u64p,
     ]
+    lib.vmpc_shift_evaluations.argtypes = [
+        u64p, u64p, ctypes.c_uint64, ctypes.c_longlong, ctypes.c_uint64,
+        u64p,
+    ]
     _lib = lib
     return _lib
 
@@ -526,6 +530,26 @@ def mod_axpy_arr(c: int, x: np.ndarray, y: np.ndarray, p: int) -> np.ndarray:
     lib.vmpc_modvec_axpy(_u64p(_modvec_ctx(p)), _u64p(cc), _u64p(x), _u64p(y),
                          n, _u64p(out))
     return out
+
+
+def shift_evaluations_arr(vals: np.ndarray, s: int, count: int,
+                          p: int) -> np.ndarray:
+    """[f(base+s+i)]_{i<count} from consecutive samples (fastpoly
+    shift-of-evaluations, fully in C: factorials, batch inverses, CRT-NTT
+    convolution, W ladder)."""
+    lib = load()
+    out = np.empty((count, 4), dtype=np.uint64)
+    lib.vmpc_shift_evaluations(
+        _u64p(_modvec_ctx(p)), _u64p(np.ascontiguousarray(vals)),
+        len(vals), s, count, _u64p(out)
+    )
+    return out
+
+
+def shift_evaluations_ints(vals, s: int, count: int, p: int) -> list:
+    return _u64x4_to_ints(
+        shift_evaluations_arr(_ints_to_u64x4(vals, p), s, count, p)
+    )
 
 
 def mod_hadamard(a, b, p: int) -> list:

@@ -161,6 +161,86 @@ struct Acc512 {
   }
 };
 
+// modular inverse via Fermat: a^(p-2) mod p (p prime), a != 0
+static void invmod(const u64 *ctx, const u64 *a, u64 *out) {
+  u64 e[4];  // p - 2
+  u64 two[4] = {2, 0, 0, 0};
+  sub_n(e, ctx, two, 4);
+  u64 acc[4] = {1, 0, 0, 0};
+  for (int i = 255; i >= 0; i--) {
+    mulmod(ctx, acc, acc, acc);
+    if ((e[i / 64] >> (i % 64)) & 1) mulmod(ctx, acc, a, acc);
+  }
+  std::memcpy(out, acc, 4 * sizeof(u64));
+}
+
+// small signed integer -> canonical mod-p limbs (|v| < p)
+static void smallmod(const u64 *ctx, long long v, u64 *out) {
+  if (v >= 0) {
+    out[0] = (u64)v;
+    out[1] = out[2] = out[3] = 0;
+  } else {
+    u64 a[4] = {(u64)(-v), 0, 0, 0};
+    sub_n(out, ctx, a, 4);
+  }
+}
+
+// batch inverse (Montgomery's trick): out[i] = 1/xs[i], xs canonical != 0
+static void batch_inverse(const u64 *ctx, const u64 *xs, u64 n, u64 *out) {
+  u64 *prefix = new u64[(n + 1) * 4];
+  prefix[0] = 1;
+  prefix[1] = prefix[2] = prefix[3] = 0;
+  for (u64 i = 0; i < n; i++)
+    mulmod(ctx, prefix + i * 4, xs + i * 4, prefix + (i + 1) * 4);
+  u64 inv_all[4];
+  invmod(ctx, prefix + n * 4, inv_all);
+  for (u64 i = n; i-- > 0;) {
+    mulmod(ctx, prefix + i * 4, inv_all, out + i * 4);
+    mulmod(ctx, inv_all, xs + i * 4, inv_all);
+  }
+  delete[] prefix;
+}
+
+}  // namespace
+
+// exact integer polynomial product over 9x64-bit rows (ntt.cc)
+extern "C" void vmpc_ntt_poly_mul(const u64 *a, u64 na, const u64 *b, u64 nb,
+                                  u64 *out);
+
+namespace {
+
+// mod-p polynomial product via the exact 9-prime CRT NTT: canonical 4-limb
+// inputs ride as zero-extended 9-limb rows; each exact output coefficient
+// (< n * p^2 < 2^525 for n <= 2^20) reduces as barrett(low 8 limbs) +
+// limb8 * (2^512 mod p).
+static void poly_mul_mod(const u64 *ctx, const u64 *a, u64 na, const u64 *b,
+                         u64 nb, u64 *out /* (na+nb-1)*4 */) {
+  u64 *a9 = new u64[na * 9]();
+  u64 *b9 = new u64[nb * 9]();
+  for (u64 i = 0; i < na; i++) std::memcpy(a9 + i * 9, a + i * 4, 32);
+  for (u64 i = 0; i < nb; i++) std::memcpy(b9 + i * 9, b + i * 4, 32);
+  u64 no = na + nb - 1;
+  u64 *o9 = new u64[no * 9];
+  vmpc_ntt_poly_mul(a9, na, b9, nb, o9);
+  const u64 *r512 = ctx + 10;
+  for (u64 i = 0; i < no; i++) {
+    const u64 *row = o9 + i * 9;
+    u64 lo[4];
+    barrett(ctx, row, lo);
+    if (row[8]) {
+      u64 h4[4] = {row[8], 0, 0, 0};
+      u64 prod[8], hr[4];
+      mul_4x4(h4, r512, prod);
+      barrett(ctx, prod, hr);
+      addmod(ctx, lo, hr, lo);
+    }
+    std::memcpy(out + i * 4, lo, 32);
+  }
+  delete[] a9;
+  delete[] b9;
+  delete[] o9;
+}
+
 }  // namespace
 
 extern "C" {
@@ -283,6 +363,90 @@ void vmpc_modvec_hadamard(const u64 *ctx, const u64 *a, const u64 *b, u64 n,
   for (long long i = 0; i < (long long)n; i++) {
     mulmod(ctx, a + 4 * i, b + 4 * i, out + 4 * i);
   }
+}
+
+// [f(s + base + i) for i < count] from consecutive samples vals =
+// [f(base), ..., f(base + d)] of a degree-<=d polynomial — the closed-form
+// Lagrange-at-consecutive-nodes convolution of tools/fastpoly.py
+// shift_evaluations, with every per-element pass (factorials, batch
+// inverses, the delta/G vectors, the W ladder) in C and the convolution on
+// the 9-prime CRT NTT.  `s` is the integer target offset (may be negative);
+// the caller guarantees s+i-k != 0 for all windows (targets distinct from
+// base points).
+void vmpc_shift_evaluations(const u64 *ctx, const u64 *vals, u64 n,
+                            long long s, u64 count, u64 *out) {
+  const u64 d = n - 1;
+  // inv_fact[k]: factorial prefix, one inversion, backward unwind
+  u64 *fact = new u64[n * 4];
+  fact[0] = 1;
+  fact[1] = fact[2] = fact[3] = 0;
+  for (u64 k = 1; k <= d; k++) {
+    u64 k4[4];
+    smallmod(ctx, (long long)k, k4);
+    mulmod(ctx, fact + (k - 1) * 4, k4, fact + k * 4);
+  }
+  u64 *inv_fact = new u64[n * 4];
+  invmod(ctx, fact + d * 4, inv_fact + d * 4);
+  for (u64 k = d; k > 0; k--) {
+    u64 k4[4];
+    smallmod(ctx, (long long)k, k4);
+    mulmod(ctx, inv_fact + k * 4, k4, inv_fact + (k - 1) * 4);
+  }
+  // delta[k] = (-1)^(d-k) vals[k] / (k! (d-k)!)
+  u64 *delta = new u64[n * 4];
+  for (u64 k = 0; k <= d; k++) {
+    u64 t[4];
+    mulmod(ctx, vals + k * 4, inv_fact + k * 4, t);
+    mulmod(ctx, t, inv_fact + (d - k) * 4, t);
+    if ((d - k) & 1) {
+      u64 neg[4];
+      if (t[0] | t[1] | t[2] | t[3]) {
+        sub_n(neg, ctx, t, 4);
+      } else {
+        neg[0] = neg[1] = neg[2] = neg[3] = 0;
+      }
+      std::memcpy(delta + k * 4, neg, 32);
+    } else {
+      std::memcpy(delta + k * 4, t, 32);
+    }
+  }
+  // G[j] = 1 / (s + j - d), j < d + count
+  u64 ng = d + count;
+  u64 *gs = new u64[ng * 4];
+  for (u64 j = 0; j < ng; j++)
+    smallmod(ctx, s + (long long)j - (long long)d, gs + j * 4);
+  u64 *G = new u64[ng * 4];
+  batch_inverse(ctx, gs, ng, G);
+  // conv[i + d] = sum_k delta_k / (s + i - k)
+  u64 *conv = new u64[(n + ng - 1) * 4];
+  poly_mul_mod(ctx, delta, n, G, ng, conv);
+  // W_i = prod_{j<=d} (s + i - j); W_{i+1} = W_i (s+i+1) / (s+i-d)
+  u64 *den = new u64[count * 4];
+  for (u64 i = 0; i < count; i++)
+    smallmod(ctx, s + (long long)i - (long long)d, den + i * 4);
+  u64 *den_inv = new u64[count * 4];
+  batch_inverse(ctx, den, count, den_inv);
+  u64 w[4] = {1, 0, 0, 0};
+  for (u64 j = 0; j <= d; j++) {
+    u64 t[4];
+    smallmod(ctx, s - (long long)j, t);
+    mulmod(ctx, w, t, w);
+  }
+  for (u64 i = 0; i < count; i++) {
+    mulmod(ctx, w, conv + (i + d) * 4, out + i * 4);
+    u64 t[4];
+    smallmod(ctx, s + (long long)i + 1, t);
+    mulmod(ctx, w, t, w);
+    mulmod(ctx, w, den_inv + i * 4, w);
+  }
+  delete[] fact;
+  delete[] inv_fact;
+  delete[] delta;
+  delete[] gs;
+  delete[] G;
+  delete[] conv;
+  delete[] den;
+  delete[] den_inv;
 }
 
 }  // extern "C"

@@ -265,6 +265,12 @@ def shift_evaluations(vals, base_start, target_start, count, p):
     for i in (0, count - 1):
         assert not (0 <= s + i <= d), "target coincides with a base point"
 
+    if d >= _FAST_THRESHOLD and (1 << 192) <= p < (1 << 256):
+        from .. import native  # lazy: host-only path stays jax-free
+
+        if native.available():
+            return native.shift_evaluations_ints(vals, s, count, p)
+
     # delta_k = vals[k] * inv(k!) * inv((d-k)!) * (-1)^(d-k)
     fact = [1] * (d + 1)
     for k in range(1, d + 1):
