@@ -203,6 +203,60 @@ def flatcode_to_r1cs(inputs, flatcode, var_placement=None):
     return A, B, C
 
 
+def flatcode_to_r1cs_cols(inputs, flatcode, var_placement=None):
+    """Sparse-column R1CS: (A_cols, B_cols, C_cols) with
+    cols[i] = [(constraint row j, int coeff)], built in O(total nonzeros).
+
+    Semantics identical to :func:`flatcode_to_r1cs` (same rows, same
+    coefficients — asserted by tests/test_qap_fast.py); the dense builder
+    materializes d x (m+1) Python lists, which is O(d*m) memory and
+    infeasible at 2^16 gates."""
+    varz = var_placement or get_var_placement(inputs, flatcode)
+    index_of = {v: i for i, v in enumerate(varz)}
+    a_cols = [[] for _ in varz]
+    b_cols = [[] for _ in varz]
+    c_cols = [[] for _ in varz]
+    used = {i: True for i in inputs}
+
+    def ins(row, var, reverse=False):
+        if isinstance(var, str):
+            if var not in used:
+                raise ValueError("Using a variable before it is set!")
+            i = index_of[var]
+            row[i] = row.get(i, 0) + (-1 if reverse else 1)
+        elif isinstance(var, int):
+            row[0] = row.get(0, 0) + var * (-1 if reverse else 1)
+
+    for j, x in enumerate(flatcode):
+        ra, rb, rc = {}, {}, {}
+        if x[1] in used:
+            raise ValueError(f"Variable already used: {x[1]}")
+        used[x[1]] = True
+        if x[0] == "set":
+            i = index_of[x[1]]
+            ra[i] = ra.get(i, 0) + 1
+            ins(ra, x[2], reverse=True)
+            rb[0] = 1
+        elif x[0] in ("+", "-"):
+            rc[index_of[x[1]]] = 1
+            ins(ra, x[2])
+            ins(ra, x[3], reverse=(x[0] == "-"))
+            rb[0] = 1
+        elif x[0] == "*":
+            rc[index_of[x[1]]] = 1
+            ins(ra, x[2])
+            ins(rb, x[3])
+        elif x[0] == "/":
+            ins(rc, x[2])
+            ra[index_of[x[1]]] = 1
+            ins(rb, x[3])
+        for row, cols in ((ra, a_cols), (rb, b_cols), (rc, c_cols)):
+            for i, v in row.items():
+                if v:
+                    cols[i].append((j, v))
+    return a_cols, b_cols, c_cols
+
+
 def _grab_var(index_of, assignment, var):
     if isinstance(var, str):
         return assignment[index_of[var]]

@@ -191,8 +191,12 @@ def compute_h_zk_terms(qap, c, deltas):
     return v_terms + w_terms + qap.t * (deltas.v * deltas.w) - qc.Poly([deltas.y])
 
 
-def compute_proof(qap, c, h, evalkey, deltas=None):
-    """The 8 proof MSMs (reference :228-273), via the MSM dispatcher."""
+def compute_proof(qap, c, h, evalkey, deltas=None, h_g1=None):
+    """The 8 proof MSMs (reference :228-273), via the MSM dispatcher.
+
+    ``h_g1`` overrides the h-polynomial MSM with a precomputed h(s)*g1
+    (qap_fast's evaluation-form prover commits h through a Lagrange-basis
+    key section instead of the power basis — same group element)."""
     mid = list(qap.indices_mid)
     c_mid = [int(c[i]) for i in mid]
 
@@ -206,10 +210,11 @@ def compute_proof(qap, c, h, evalkey, deltas=None):
     alphawmid_g1 = mid_msm("r_w*alpha_w*w{}*g1")
     alphaymid_g1 = mid_msm("r_y*alpha_y*y{}*g1")
     betavwymid_g1 = mid_msm("r_v*beta*v+r_w*beta*w+r_y*beta*y{}_g1")
-    h_g1 = multiexp(
-        [evalkey[f"s^{i}*g1"] for i in range(len(h))],
-        [int(h.coeffs[i]) for i in range(len(h))],
-    )
+    if h_g1 is None:
+        h_g1 = multiexp(
+            [evalkey[f"s^{i}*g1"] for i in range(len(h))],
+            [int(h.coeffs[i]) for i in range(len(h))],
+        )
 
     if deltas is not None:
         vmid_g1 = vmid_g1 + deltas.v * evalkey["r_v*t*g1"]

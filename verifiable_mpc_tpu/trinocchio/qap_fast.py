@@ -37,7 +37,6 @@ class SparseQAP:
         inputs, body = c2r.extract_inputs_and_body(c2r.parse(code))
         flatcode = c2r.flatten_body(body)
         varnames = c2r.get_var_placement(inputs, flatcode)
-        A, B, C = c2r.flatcode_to_r1cs(inputs, flatcode)
         self.field = field
         self.p = field.modulus
         self.inputs = inputs
@@ -51,18 +50,18 @@ class SparseQAP:
         self.indices_io = range(1, self.out_ix + 1)
         self.indices_mid = range(self.out_ix + 1, self.m + 1)
 
-        # sparse columns: col i -> list of (row j, coeff)
-        def columns(M):
-            cols = [[] for _ in range(self.m + 1)]
-            for j, row in enumerate(M):
-                for i, v in enumerate(row):
-                    if v:
-                        cols[i].append((j, v % self.p))
-            return cols
+        # sparse columns straight from the flatcode (the dense d x (m+1)
+        # matrices of flatcode_to_r1cs are O(d*m) — infeasible at 2^16)
+        a_cols, b_cols, c_cols = c2r.flatcode_to_r1cs_cols(
+            inputs, flatcode, varnames
+        )
 
-        self.A_cols = columns(A)
-        self.B_cols = columns(B)
-        self.C_cols = columns(C)
+        def reduce_cols(cols):
+            return [[(j, v % self.p) for j, v in col] for col in cols]
+
+        self.A_cols = reduce_cols(a_cols)
+        self.B_cols = reduce_cols(b_cols)
+        self.C_cols = reduce_cols(c_cols)
         self._t_coeffs = None
 
     # -- target polynomial --------------------------------------------------
@@ -146,6 +145,59 @@ class SparseQAP:
         assert all(x == 0 for x in r), "p(x) not divisible by t(x): bad witness"
         return q
 
+    # -- evaluation-form h (no interpolation anywhere) ------------------------
+    def lag_nodes(self):
+        """The shifted evaluation domain d+1 .. 2d+1 (d+1 points): enough for
+        the ZK-corrected h' = h + dv*W + dw*V + dv*dw*t - dy of degree d."""
+        return range(self.d + 1, 2 * self.d + 2)
+
+    def t_at_nodes(self):
+        """[t(x) for x in lag_nodes()]: t(x) = prod_{j=1..d}(x-j) stepped
+        incrementally, t(x+1) = t(x)*x/(x-d) — O(d) with one batch inverse."""
+        p = self.p
+        d = self.d
+        nodes = list(self.lag_nodes())
+        inv = fastpoly.batch_inverse([(x - d - 1) % p for x in nodes[1:]], p)
+        t0 = 1
+        for j in range(1, d + 1):  # t(d+1) = d!
+            t0 = t0 * j % p
+        out = [t0]
+        for i, x in enumerate(nodes[:-1]):
+            out.append(out[-1] * (x % p) % p * inv[i] % p)
+        return out
+
+    def h_evals(self, c_vals, deltas=None):
+        """[h'(x) for x in lag_nodes()] fully in evaluation form: V/W/Y
+        extended from 1..d by shift-of-evaluations (one C NTT convolution
+        each), h = (V*W - Y)/t pointwise, ZK corrections pointwise.
+
+        Replaces the interpolate->multiply->divide route of h_coeffs (its
+        subproduct trees dominated the prover).  The coefficient path's
+        remainder-zero assert is subsumed by the verifier's divisibility
+        pairing check (reference pynocchio.py:276-325)."""
+        p = self.p
+        d = self.d
+        count = d + 1
+        V, W, Y = self.vwy_evals(c_vals)
+        V_hi = fastpoly.shift_evaluations(V, 1, d + 1, count, p)
+        W_hi = fastpoly.shift_evaluations(W, 1, d + 1, count, p)
+        Y_hi = fastpoly.shift_evaluations(Y, 1, d + 1, count, p)
+        t_vals = self.t_at_nodes()
+        t_inv = fastpoly.batch_inverse(t_vals, p)
+        out = [
+            (v * w - y) % p * ti % p
+            for v, w, y, ti in zip(V_hi, W_hi, Y_hi, t_inv)
+        ]
+        if deltas is not None:
+            dv, dw = int(deltas.v) % p, int(deltas.w) % p
+            dy = int(deltas.y) % p
+            dvdw = dv * dw % p
+            out = [
+                (h + dv * w + dw * v + dvdw * t - dy) % p
+                for h, v, w, t in zip(out, V_hi, W_hi, t_vals)
+            ]
+        return out
+
 
 def generate_keys_fast(td, qap: SparseQAP, gen):
     """Evaluation-form key generation: one basis vector at td.s + sparse
@@ -192,6 +244,17 @@ def generate_keys_fast(td, qap: SparseQAP, gen):
     for i, pt in enumerate(pts):
         evalkey[f"s^{i}*g1"] = pt
 
+    # Lagrange-basis section over the shifted domain d+1..2d+1: lets the
+    # prover commit h directly from evaluations (h(s)*g1 = sum h(x_j)
+    # lambda_j(s) * g1 — the identical group element the power-basis MSM
+    # yields), skipping all interpolation.  The power-basis entries above
+    # are kept for the reference-shaped coefficient path.
+    nodes = tuple(qap.lag_nodes())
+    lam = _recombination_vectors(qap.field, nodes, (s,))[0]
+    pts = batch_exp(gen.g1, [int(v) % p for v in lam])
+    for x, pt in zip(nodes, pts):
+        evalkey[f"lag{x}*g1"] = pt
+
     evalkey["r_v*t*g1"] = gen.g1 ** (td.r_v * t_s % p)
     evalkey["r_w*t*g2"] = gen.g2 ** (td.r_w * t_s % p)
     evalkey["r_y*t*g1"] = gen.g1 ** (td.r_y * t_s % p)
@@ -221,10 +284,29 @@ def generate_keys_fast(td, qap: SparseQAP, gen):
     return evalkey, verikey
 
 
-def compute_proof_fast(qap: SparseQAP, c_vals, evalkey, deltas=None):
-    """Prover via evaluation-form h and the shared MSM path."""
-    from . import pynocchio
+def compute_proof_fast(qap: SparseQAP, c_vals, evalkey, deltas=None,
+                       h_eval_vals=None):
+    """Prover via evaluation-form h and the shared MSM path.
 
+    With a Lagrange key section present (generate_keys_fast), h never
+    leaves evaluation form: no interpolation, no polynomial division —
+    h(s)*g1 is one MSM over the lag entries.  ``h_eval_vals`` injects
+    precomputed/share-local h evaluations (Trinocchio parties).  Falls
+    back to the coefficient route on power-basis-only keys."""
+    from . import pynocchio
+    from ..ops.dispatch import multiexp
+
+    nodes = list(qap.lag_nodes())
+    if f"lag{nodes[0]}*g1" in evalkey:
+        if h_eval_vals is None:
+            h_eval_vals = qap.h_evals(c_vals, deltas)
+        h_g1 = multiexp(
+            [evalkey[f"lag{x}*g1"] for x in nodes],
+            [int(v) for v in h_eval_vals],
+        )
+        return pynocchio.compute_proof(
+            qap, c_vals, None, evalkey, deltas, h_g1=h_g1
+        )
     h = qc.Poly([qap.field(x) for x in qap.h_coeffs(c_vals)])
     if deltas is not None:
         h = h + pynocchio_h_zk_terms(qap, c_vals, deltas)
