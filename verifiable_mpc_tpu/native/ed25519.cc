@@ -406,18 +406,30 @@ void vmpc_ed_batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
   init_constants();
   Pt b;
   load_pt(b, base);
-  // precompute 2^i * base
-  std::vector<Pt> powers(256);
-  powers[0] = b;
-  for (int i = 1; i < 256; i++) pt_double(powers[i], powers[i - 1]);
+  // 8-bit fixed-base comb (see bn256.cc batch_exp): <= 32 adds per
+  // exponentiation after a 32*255-add table build
+  std::vector<Pt> table(32 * 255);
+  Pt cur = b;
+  for (int win = 0; win < 32; win++) {
+    Pt *t = &table[win * 255];
+    t[0] = cur;
+    for (int v = 2; v <= 255; v++) pt_add(t[v - 1], t[v - 2], cur);
+    if (win < 31) {
+      Pt nxt;
+      pt_add(nxt, t[254], cur);  // 256*cur = 255*cur + cur
+      cur = nxt;
+    }
+  }
 #pragma omp parallel for schedule(static)
   for (long long i = 0; i < (long long)n; i++) {
     Pt acc;
     pt_identity(acc);
-    for (int bit = 0; bit < 256; bit++) {
-      if (scalar_bit(exps + i * 4, bit)) {
+    const u64 *e = exps + i * 4;
+    for (int win = 0; win < 32; win++) {
+      unsigned byte = (unsigned)((e[win / 8] >> (8 * (win % 8))) & 0xFF);
+      if (byte) {
         Pt tmp;
-        pt_add(tmp, acc, powers[bit]);
+        pt_add(tmp, acc, table[win * 255 + byte - 1]);
         acc = tmp;
       }
     }
