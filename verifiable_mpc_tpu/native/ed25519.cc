@@ -1,13 +1,21 @@
 // Native host tier: Ed25519 group arithmetic over GF(2^255 - 19).
 //
-// 4x64-bit Montgomery limbs (unsigned __int128 multiplies), extended
-// twisted-Edwards coordinates with the complete add-2008-hwcd-3 formulas,
-// and a bucket-method (Pippenger) MSM.  Exposed through a C ABI and loaded
-// from Python with ctypes (no pybind11 in this environment).
+// Radix-2^51 pseudo-Mersenne field arithmetic (donna-style lazy reduction:
+// adds/subs are 5 limb ops with NO carries or conditional subtracts; muls
+// fold the 2^255 overflow back with *19), extended twisted-Edwards
+// coordinates with the complete add-2008-hwcd-3 formulas, and a
+// bucket-method (Pippenger) MSM.  Exposed through a C ABI and loaded from
+// Python with ctypes (no pybind11 in this environment).
 //
-// This is the framework's fast CPU path: it backs the dispatch layer when no
-// TPU is attached and provides the host-side reference the TPU kernels are
-// tested against at scale.
+// Limb-bound discipline (audited against the two point formulas):
+// stored coordinates and mul/sq outputs have limbs < 2^52; fe_add of two
+// such values < 2^53; fe_sub adds 4p (limbs ~2^53) so < a + 2^53.1; the
+// worst mul input is f = c + g in pt_double with limbs < 2^54.4, giving
+// per-column u128 sums < 2^115 — comfortably inside u128.
+//
+// This is the framework's fast CPU path: it backs the dispatch layer when
+// no TPU is attached and provides the host-side reference the TPU kernels
+// are tested against at scale.
 
 #include <cstdint>
 #include <cstring>
@@ -21,117 +29,140 @@ typedef uint64_t u64;
 
 namespace {
 
-// p = 2^255 - 19
+// p = 2^255 - 19 (packed 4x64 form, used only at the canonical boundary)
 static const u64 P[4] = {0xffffffffffffffedULL, 0xffffffffffffffffULL,
                          0xffffffffffffffffULL, 0x7fffffffffffffffULL};
-// -p^{-1} mod 2^64
-static const u64 NPRIME = 0x86bca1af286bca1bULL;
-// R^2 mod p (R = 2^256)
-static const u64 R2[4] = {0x00000000000005a4ULL, 0ULL, 0ULL, 0ULL};
-// R mod p (Montgomery one)
-static const u64 ONE_M[4] = {0x0000000000000026ULL, 0ULL, 0ULL, 0ULL};
-// 2d * R mod p (Montgomery domain), d = -121665/121666 mod p
-static u64 TWO_D_M[4];
 
-struct Fe {
-  u64 v[4];
+static const u64 M51 = (1ULL << 51) - 1;
+// 4p in radix 2^51: headroom added in fe_sub so limb subtraction of any
+// reduced (< 2^52) operand cannot underflow
+static const u64 FOURP[5] = {
+    (M51 + 1 - 19) * 4, M51 * 4, M51 * 4, M51 * 4, M51 * 4,
 };
 
-static inline void fe_set(Fe &o, const u64 *src) { memcpy(o.v, src, 32); }
+struct Fe {
+  u64 v[5];  // radix 2^51, plain (non-Montgomery) domain
+};
 
-static inline void fe_add(Fe &o, const Fe &a, const Fe &b) {
-  u128 c = 0;
-  u64 t[4];
-  for (int i = 0; i < 4; i++) {
-    c += (u128)a.v[i] + b.v[i];
-    t[i] = (u64)c;
-    c >>= 64;
+static Fe TWO_D_F;  // 2d, d = -121665/121666 mod p
+
+static inline void fe_zero(Fe &o) { memset(o.v, 0, sizeof(o.v)); }
+
+static inline void fe_one(Fe &o) {
+  fe_zero(o);
+  o.v[0] = 1;
+}
+
+// packed 4x64 little-endian (value < 2^256; bits >= 255 must be clear) ->
+// radix 2^51
+static inline void fe_unpack(Fe &o, const u64 *d) {
+  o.v[0] = d[0] & M51;
+  o.v[1] = ((d[0] >> 51) | (d[1] << 13)) & M51;
+  o.v[2] = ((d[1] >> 38) | (d[2] << 26)) & M51;
+  o.v[3] = ((d[2] >> 25) | (d[3] << 39)) & M51;
+  o.v[4] = d[3] >> 12;
+}
+
+// full canonicalization: carry chains + one conditional subtract of p
+static void fe_pack(u64 *d, const Fe &a) {
+  u64 t[5];
+  memcpy(t, a.v, sizeof(t));
+  for (int pass = 0; pass < 3; pass++) {
+    u64 c = 0;
+    for (int i = 0; i < 5; i++) {
+      t[i] += c;
+      c = t[i] >> 51;
+      t[i] &= M51;
+    }
+    t[0] += 19 * c;
   }
-  // conditional subtract p (sum < 2p < 2^256, carry-out impossible for p<2^255)
+  // now value < 2^255 + small and limbs < 2^51 (+ tiny in t[0]); one more
+  // mini-carry keeps every limb strictly < 2^51 except possibly t[4] + 1
+  u64 c = t[0] >> 51;
+  t[0] &= M51;
+  t[1] += c;
+  c = t[1] >> 51;
+  t[1] &= M51;
+  t[2] += c;
+  c = t[2] >> 51;
+  t[2] &= M51;
+  t[3] += c;
+  c = t[3] >> 51;
+  t[3] &= M51;
+  t[4] += c;
+
+  u64 p4[4];
+  p4[0] = t[0] | (t[1] << 51);
+  p4[1] = (t[1] >> 13) | (t[2] << 38);
+  p4[2] = (t[2] >> 26) | (t[3] << 25);
+  p4[3] = (t[3] >> 39) | (t[4] << 12);
+  // value < 2p: at most one subtract
   u128 borrow = 0;
   u64 s[4];
   for (int i = 0; i < 4; i++) {
-    u128 d = (u128)t[i] - P[i] - borrow;
-    s[i] = (u64)d;
-    borrow = (d >> 64) & 1;
+    u128 diff = (u128)p4[i] - P[i] - borrow;
+    s[i] = (u64)diff;
+    borrow = (diff >> 64) & 1;
   }
-  u64 keep = (u64)0 - (u64)(borrow & 1 & !c);  // borrow && no carry -> keep t
-  for (int i = 0; i < 4; i++) o.v[i] = (t[i] & keep) | (s[i] & ~keep);
+  memcpy(d, borrow ? p4 : s, 32);
+}
+
+static inline void fe_add(Fe &o, const Fe &a, const Fe &b) {
+  for (int i = 0; i < 5; i++) o.v[i] = a.v[i] + b.v[i];
 }
 
 static inline void fe_sub(Fe &o, const Fe &a, const Fe &b) {
-  u128 borrow = 0;
-  u64 t[4];
-  for (int i = 0; i < 4; i++) {
-    u128 d = (u128)a.v[i] - b.v[i] - borrow;
-    t[i] = (u64)d;
-    borrow = (d >> 64) & 1;
-  }
-  if (borrow) {
-    u128 c = 0;
-    for (int i = 0; i < 4; i++) {
-      c += (u128)t[i] + P[i];
-      t[i] = (u64)c;
-      c >>= 64;
-    }
-  }
-  memcpy(o.v, t, 32);
+  // b must be reduced (< 2^52 limbs): coordinates and mul/sq outputs are
+  for (int i = 0; i < 5; i++) o.v[i] = a.v[i] + FOURP[i] - b.v[i];
 }
 
-// Montgomery multiplication (CIOS)
+// carry a 5x u128 row vector into limbs < 2^52
+static inline void fe_carry_from(Fe &o, u128 *t) {
+  t[1] += (u64)(t[0] >> 51);
+  o.v[0] = (u64)t[0] & M51;
+  t[2] += (u64)(t[1] >> 51);
+  o.v[1] = (u64)t[1] & M51;
+  t[3] += (u64)(t[2] >> 51);
+  o.v[2] = (u64)t[2] & M51;
+  t[4] += (u64)(t[3] >> 51);
+  o.v[3] = (u64)t[3] & M51;
+  u128 c = t[4] >> 51;
+  o.v[4] = (u64)t[4] & M51;
+  u128 c0 = (u128)o.v[0] + 19 * c;  // c can reach ~2^60: fold in u128
+  o.v[1] += (u64)(c0 >> 51);
+  o.v[0] = (u64)c0 & M51;
+}
+
 static inline void fe_mul(Fe &o, const Fe &a, const Fe &b) {
-  u64 t[6] = {0, 0, 0, 0, 0, 0};
-  for (int i = 0; i < 4; i++) {
-    u128 c = 0;
-    u64 ai = a.v[i];
-    for (int j = 0; j < 4; j++) {
-      c += (u128)t[j] + (u128)ai * b.v[j];
-      t[j] = (u64)c;
-      c >>= 64;
-    }
-    c += t[4];
-    t[4] = (u64)c;
-    t[5] = (u64)(c >> 64);
-
-    u64 m = t[0] * NPRIME;
-    c = (u128)t[0] + (u128)m * P[0];
-    c >>= 64;
-    for (int j = 1; j < 4; j++) {
-      c += (u128)t[j] + (u128)m * P[j];
-      t[j - 1] = (u64)c;
-      c >>= 64;
-    }
-    c += t[4];
-    t[3] = (u64)c;
-    t[4] = t[5] + (u64)(c >> 64);
-    t[5] = 0;
-  }
-  // t[0..4] holds result < 2p; conditional subtract
-  u128 borrow = 0;
-  u64 s[4];
-  for (int i = 0; i < 4; i++) {
-    u128 d = (u128)t[i] - P[i] - borrow;
-    s[i] = (u64)d;
-    borrow = (d >> 64) & 1;
-  }
-  if (t[4] || !borrow) {
-    memcpy(o.v, s, 32);
-  } else {
-    memcpy(o.v, t, 32);
-  }
+  const u64 a0 = a.v[0], a1 = a.v[1], a2 = a.v[2], a3 = a.v[3], a4 = a.v[4];
+  const u64 b0 = b.v[0], b1 = b.v[1], b2 = b.v[2], b3 = b.v[3], b4 = b.v[4];
+  const u64 b1_19 = b1 * 19, b2_19 = b2 * 19, b3_19 = b3 * 19,
+            b4_19 = b4 * 19;
+  u128 t[5];
+  t[0] = (u128)a0 * b0 + (u128)a1 * b4_19 + (u128)a2 * b3_19 +
+         (u128)a3 * b2_19 + (u128)a4 * b1_19;
+  t[1] = (u128)a0 * b1 + (u128)a1 * b0 + (u128)a2 * b4_19 +
+         (u128)a3 * b3_19 + (u128)a4 * b2_19;
+  t[2] = (u128)a0 * b2 + (u128)a1 * b1 + (u128)a2 * b0 +
+         (u128)a3 * b4_19 + (u128)a4 * b3_19;
+  t[3] = (u128)a0 * b3 + (u128)a1 * b2 + (u128)a2 * b1 + (u128)a3 * b0 +
+         (u128)a4 * b4_19;
+  t[4] = (u128)a0 * b4 + (u128)a1 * b3 + (u128)a2 * b2 + (u128)a3 * b1 +
+         (u128)a4 * b0;
+  fe_carry_from(o, t);
 }
 
-static inline void fe_to_mont(Fe &o, const Fe &a) {
-  Fe r2;
-  fe_set(r2, R2);
-  fe_mul(o, a, r2);
-}
-
-static inline void fe_from_mont(Fe &o, const Fe &a) {
-  Fe one;
-  memset(one.v, 0, 32);
-  one.v[0] = 1;
-  fe_mul(o, a, one);
+static inline void fe_sq(Fe &o, const Fe &a) {
+  const u64 a0 = a.v[0], a1 = a.v[1], a2 = a.v[2], a3 = a.v[3], a4 = a.v[4];
+  const u64 d0 = a0 * 2, d1 = a1 * 2;
+  const u64 a3_19 = a3 * 19, a4_19 = a4 * 19;
+  u128 t[5];
+  t[0] = (u128)a0 * a0 + (u128)d1 * a4_19 + (u128)(a2 * 2) * a3_19;
+  t[1] = (u128)d0 * a1 + (u128)(a2 * 2) * a4_19 + (u128)a3 * a3_19;
+  t[2] = (u128)d0 * a2 + (u128)a1 * a1 + (u128)(a3 * 2) * a4_19;
+  t[3] = (u128)d0 * a3 + (u128)d1 * a2 + (u128)a4 * a4_19;
+  t[4] = (u128)d0 * a4 + (u128)d1 * a3 + (u128)a2 * a2;
+  fe_carry_from(o, t);
 }
 
 struct Pt {
@@ -139,9 +170,10 @@ struct Pt {
 };
 
 static void pt_identity(Pt &o) {
-  memset(&o, 0, sizeof(o));
-  fe_set(o.y, ONE_M);
-  fe_set(o.z, ONE_M);
+  fe_zero(o.x);
+  fe_one(o.y);
+  fe_one(o.z);
+  fe_zero(o.t);
 }
 
 // unified add (complete on the prime-order subgroup)
@@ -153,9 +185,7 @@ static void pt_add(Pt &o, const Pt &p, const Pt &q) {
   fe_add(t0, p.y, p.x);
   fe_add(t1, q.y, q.x);
   fe_mul(b, t0, t1);
-  Fe twod;
-  fe_set(twod, TWO_D_M);
-  fe_mul(t0, p.t, twod);
+  fe_mul(t0, p.t, TWO_D_F);
   fe_mul(c, t0, q.t);
   fe_add(t0, p.z, p.z);
   fe_mul(d, t0, q.z);
@@ -172,13 +202,13 @@ static void pt_add(Pt &o, const Pt &p, const Pt &q) {
 // dedicated doubling (dbl-2008-hwcd): 4M + 4S vs the unified add's 9M
 static void pt_double(Pt &o, const Pt &p) {
   Fe a, b, c, h, e, g, f, t0;
-  fe_mul(a, p.x, p.x);
-  fe_mul(b, p.y, p.y);
-  fe_mul(c, p.z, p.z);
+  fe_sq(a, p.x);
+  fe_sq(b, p.y);
+  fe_sq(c, p.z);
   fe_add(c, c, c);
   fe_add(h, a, b);
   fe_add(t0, p.x, p.y);
-  fe_mul(t0, t0, t0);
+  fe_sq(t0, t0);
   fe_sub(e, h, t0);
   fe_sub(g, a, b);
   fe_add(f, c, g);
@@ -190,7 +220,7 @@ static void pt_double(Pt &o, const Pt &p) {
 
 static void pt_neg(Pt &o, const Pt &p) {
   Fe zero;
-  memset(zero.v, 0, 32);
+  fe_zero(zero);
   fe_sub(o.x, zero, p.x);
   o.y = p.y;
   o.z = p.z;
@@ -198,28 +228,18 @@ static void pt_neg(Pt &o, const Pt &p) {
 }
 
 static void load_pt(Pt &o, const u64 *src) {
-  // src: 16 u64 = x, y, z, t in normal domain
-  Fe tmp;
-  memcpy(tmp.v, src + 0, 32);
-  fe_to_mont(o.x, tmp);
-  memcpy(tmp.v, src + 4, 32);
-  fe_to_mont(o.y, tmp);
-  memcpy(tmp.v, src + 8, 32);
-  fe_to_mont(o.z, tmp);
-  memcpy(tmp.v, src + 12, 32);
-  fe_to_mont(o.t, tmp);
+  // src: 16 u64 = x, y, z, t packed 4x64 plain domain
+  fe_unpack(o.x, src + 0);
+  fe_unpack(o.y, src + 4);
+  fe_unpack(o.z, src + 8);
+  fe_unpack(o.t, src + 12);
 }
 
 static void store_pt(u64 *dst, const Pt &p) {
-  Fe tmp;
-  fe_from_mont(tmp, p.x);
-  memcpy(dst + 0, tmp.v, 32);
-  fe_from_mont(tmp, p.y);
-  memcpy(dst + 4, tmp.v, 32);
-  fe_from_mont(tmp, p.z);
-  memcpy(dst + 8, tmp.v, 32);
-  fe_from_mont(tmp, p.t);
-  memcpy(dst + 12, tmp.v, 32);
+  fe_pack(dst + 0, p.x);
+  fe_pack(dst + 4, p.y);
+  fe_pack(dst + 8, p.z);
+  fe_pack(dst + 12, p.t);
 }
 
 static int scalar_bit(const u64 *s, int bit) {
@@ -294,15 +314,15 @@ static void pt_scalar_mul(Pt &o, const Pt &p, const u64 *s) {
   pt_scalar_mul_wnaf(o, p, digits, len);
 }
 
-// a^(p-2) in Montgomery domain (Fermat inversion)
+// a^(p-2) (Fermat inversion)
 static void fe_inv(Fe &o, const Fe &a) {
   static const u64 PM2[4] = {0xffffffffffffffebULL, 0xffffffffffffffffULL,
                              0xffffffffffffffffULL, 0x7fffffffffffffffULL};
   Fe r;
-  fe_set(r, ONE_M);
+  fe_one(r);
   for (int bit = 254; bit >= 0; bit--) {
     Fe t;
-    fe_mul(t, r, r);
+    fe_sq(t, r);
     r = t;
     if ((PM2[bit >> 6] >> (bit & 63)) & 1) {
       fe_mul(t, r, a);
@@ -318,11 +338,7 @@ static void init_constants() {
   // 2d mod p = 2 * (-121665/121666): precomputed plain value
   static const u64 TWO_D_PLAIN[4] = {0xebd69b9426b2f159ULL, 0x00e0149a8283b156ULL,
                                      0x198e80f2eef3d130ULL, 0x2406d9dc56dffce7ULL};
-  Fe tmp;
-  memcpy(tmp.v, TWO_D_PLAIN, 32);
-  Fe m;
-  fe_to_mont(m, tmp);
-  memcpy(TWO_D_M, m.v, 32);
+  fe_unpack(TWO_D_F, TWO_D_PLAIN);
   done = true;
 }
 
@@ -472,12 +488,9 @@ void vmpc_ed_batch_normalize(u64 *pts, u64 n) {
     if (lo < hi) {
       u64 m = hi - lo;
       std::vector<Fe> zs(m), prefix(m + 1);
-      for (u64 i = 0; i < m; i++) {
-        Fe tmp;
-        memcpy(tmp.v, pts + (lo + i) * 16 + 8, 32);
-        fe_to_mont(zs[i], tmp);
-      }
-      fe_set(prefix[0], ONE_M);
+      for (u64 i = 0; i < m; i++)
+        fe_unpack(zs[i], pts + (lo + i) * 16 + 8);
+      fe_one(prefix[0]);
       for (u64 i = 0; i < m; i++) fe_mul(prefix[i + 1], prefix[i], zs[i]);
       Fe inv;
       fe_inv(inv, prefix[m]);
@@ -487,22 +500,16 @@ void vmpc_ed_batch_normalize(u64 *pts, u64 n) {
         fe_mul(t, inv, zs[i]);
         inv = t;
         Fe x, y, xn, yn, tn;
-        memcpy(x.v, pts + (lo + i) * 16 + 0, 32);
-        fe_to_mont(x, x);
-        memcpy(y.v, pts + (lo + i) * 16 + 4, 32);
-        fe_to_mont(y, y);
+        fe_unpack(x, pts + (lo + i) * 16 + 0);
+        fe_unpack(y, pts + (lo + i) * 16 + 4);
         fe_mul(xn, x, zinv);
         fe_mul(yn, y, zinv);
         fe_mul(tn, xn, yn);
-        Fe plain;
-        fe_from_mont(plain, xn);
-        memcpy(pts + (lo + i) * 16 + 0, plain.v, 32);
-        fe_from_mont(plain, yn);
-        memcpy(pts + (lo + i) * 16 + 4, plain.v, 32);
+        fe_pack(pts + (lo + i) * 16 + 0, xn);
+        fe_pack(pts + (lo + i) * 16 + 4, yn);
         memset(pts + (lo + i) * 16 + 8, 0, 32);
         pts[(lo + i) * 16 + 8] = 1;
-        fe_from_mont(plain, tn);
-        memcpy(pts + (lo + i) * 16 + 12, plain.v, 32);
+        fe_pack(pts + (lo + i) * 16 + 12, tn);
       }
     }
   }
