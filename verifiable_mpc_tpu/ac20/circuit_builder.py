@@ -153,6 +153,9 @@ class Circuit:
         mul_gs = self.mul_gates()
         left_forms = [construct_sparse_form(g, self, wire=0) for g in mul_gs]
         right_forms = [construct_sparse_form(g, self, wire=1) for g in mul_gs]
+        fast = _native_triples(self, left_forms, right_forms, inputs)
+        if fast is not None:
+            return fast
         alpha = [0] * self.mul_ct
         beta = [0] * self.mul_ct
         gamma = [0] * self.mul_ct
@@ -462,6 +465,91 @@ class SparseForm:
         for i, c in self.coeffs.items():
             dense[i] = dense[i] + c
         return AffineForm(dense, self.constant)
+
+
+def _triples_csr(circuit, left_forms, right_forms, gf):
+    """CSR arrays (ptr/idx/coef/const per side) for the native triples
+    pass, memoized on the circuit (gates are append-only, so the gate
+    count keys validity).  None if any form is empty or has foreign
+    coefficients — then the Python loop's result types would differ."""
+    key = (len(circuit.gates), gf.modulus)
+    cached = getattr(circuit, "_triples_csr_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    import numpy as np
+
+    from .. import native
+
+    p = gf.modulus
+    out = []
+    for forms in (left_forms, right_forms):
+        ptr = np.empty(len(forms) + 1, dtype=np.uint64)
+        ptr[0] = 0
+        idx_l = []
+        coef_l = []
+        const_l = []
+        for i, f in enumerate(forms):
+            if not f.coeffs:
+                # empty form: the Python loop would yield a plain int here
+                circuit._triples_csr_cache = (key, None)
+                return None
+            idx_l.extend(f.coeffs.keys())
+            coef_l.extend(f.coeffs.values())
+            const_l.append(f.constant)
+            ptr[i + 1] = len(idx_l)
+        coef = native.vals_to_arr(coef_l, gf, p, int_mode=1)
+        const = native.vals_to_arr(const_l, gf, p, int_mode=1)
+        if coef is None or const is None:
+            circuit._triples_csr_cache = (key, None)
+            return None
+        out += [ptr, np.asarray(idx_l, dtype=np.uint64), coef, const]
+    res = tuple(out)
+    circuit._triples_csr_cache = (key, res)
+    return res
+
+
+def _native_triples(circuit, left_forms, right_forms, inputs):
+    """C fast path for the multiplication-triples pass.
+
+    Object-identical to the Python loop when every input is a plain
+    prime-field element and every wire form is non-empty with int/gf
+    coefficients: each alpha/beta/gamma the Python loop yields is then a
+    reduced gf element, which is exactly what the C pass reconstructs.
+    Returns None (caller runs the Python loop) when any guard fails —
+    notably for MPC secure types and extension fields."""
+    m = len(left_forms)
+    if m < 64 or not inputs:
+        return None
+    x0 = inputs[0]
+    if not isinstance(x0, FiniteFieldElement):
+        return None
+    gf = type(x0)
+
+    from .. import native
+    from ..ops import modvec as _mv
+
+    if not _mv._native_ok(gf):
+        return None
+    vals_in = native.vals_to_arr(inputs, gf, gf.modulus, int_mode=0)
+    if vals_in is None or len(inputs) != circuit.input_ct:
+        return None
+    csr = _triples_csr(circuit, left_forms, right_forms, gf)
+    if csr is None:
+        return None
+    import numpy as np
+
+    lptr, lidx, lcoef, lconst, rptr, ridx, rcoef, rconst = csr
+    vals = np.empty((circuit.input_ct + m, 4), dtype=np.uint64)
+    vals[: circuit.input_ct] = vals_in
+    alpha, beta = native.modvec_mul_triples(
+        gf.modulus, circuit.input_ct, m,
+        lptr, lidx, lcoef, lconst, rptr, ridx, rcoef, rconst, vals,
+    )
+    return (
+        native.arr_to_vals(alpha, gf),
+        native.arr_to_vals(beta, gf),
+        native.arr_to_vals(vals[circuit.input_ct :], gf),
+    )
 
 
 def construct_sparse_form(gate, circuit, wire=None) -> SparseForm:

@@ -253,7 +253,7 @@ def protocol_5_prover(generators, P, L, y, x, gamma, gf, transcript="v1"):
     ), "This implementation requires n+1 to be power of 2 (else, use padding with zeros)."
 
     order = gf.order
-    r = [rng.randrange(order) for _ in range(n)]
+    r = rng.randvector(n, order)
     rho = rng.randrange(order)
     logger_cp.debug("Calculate t, A.")
     t = modvec.dot(L.coeffs, r, gf)

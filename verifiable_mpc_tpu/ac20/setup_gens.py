@@ -30,7 +30,7 @@ def create_generators(g_length, pivot_choice, group=None, progress_bar=False):
     def create_g_h():
         assert group is not None
         h = group.generator
-        random_exponents = [rng.randrange(1, group.order) for _ in range(g_length)]
+        random_exponents = rng.randvector(g_length, group.order, lo=1)
         g = batch_exp(h, random_exponents)
         return g, h
 

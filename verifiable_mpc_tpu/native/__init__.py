@@ -108,6 +108,12 @@ def load():
     lib.vmpc_modvec_hadamard.argtypes = [
         u64p, u64p, u64p, ctypes.c_uint64, u64p,
     ]
+    lib.vmpc_modvec_mul_triples.argtypes = [
+        u64p, ctypes.c_uint64, ctypes.c_uint64,
+        u64p, u64p, u64p, u64p,
+        u64p, u64p, u64p, u64p,
+        u64p, u64p, u64p,
+    ]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.vmpc_ed_batch_normalize.argtypes = [u64p, ctypes.c_uint64]
     lib.vmpc_ed_hash_encode.argtypes = [u64p, ctypes.c_uint64, u8p, u64p]
@@ -401,6 +407,47 @@ def _u64x4_to_ints(arr) -> list:
     ]
 
 
+def vals_to_arr(xs, ftype, p: int, int_mode: int = 1):
+    """[n,4] u64 rows for a list of ints / exact-ftype field elements in ONE
+    C pass, or None if an element is foreign (caller falls back).
+    int_mode: 0 = reject plain ints, 1 = allow, 2 = allow only int 0."""
+    fs = fastser()
+    if fs is None or type(xs) not in (list, tuple):
+        return None
+    raw = fs.vals_to_u64x4(xs, ftype, p, int_mode)
+    if raw is None:
+        return None
+    return np.frombuffer(raw, dtype=np.uint64).reshape(len(xs), 4)
+
+
+def arr_to_vals(arr, ftype) -> list:
+    """Reduced [n,4] u64 rows -> list of ftype field elements (C
+    construction, skips __init__; rows must already be in [0, modulus))."""
+    fs = fastser()
+    raw = np.ascontiguousarray(arr, dtype=np.uint64)
+    if fs is not None:
+        return fs.u64x4_to_vals(raw, ftype)
+    return [ftype(v) for v in _u64x4_to_ints(raw)]
+
+
+def modvec_mul_triples(p: int, n_in: int, m: int, lptr, lidx, lcoef, lconst,
+                       rptr, ridx, rcoef, rconst, vals):
+    """Run the sequential mul-gate triples pass in C.
+
+    ``vals`` is an [n_in + m, 4] u64 array with the input rows prefilled;
+    gamma rows are written in place.  Returns (alpha, beta) arrays [m,4]."""
+    lib = load()
+    alpha = np.empty((m, 4), dtype=np.uint64)
+    beta = np.empty((m, 4), dtype=np.uint64)
+    lib.vmpc_modvec_mul_triples(
+        _u64p(_modvec_ctx(p)), n_in, m,
+        _u64p(lptr), _u64p(lidx), _u64p(lcoef), _u64p(lconst),
+        _u64p(rptr), _u64p(ridx), _u64p(rcoef), _u64p(rconst),
+        _u64p(vals), _u64p(alpha), _u64p(beta),
+    )
+    return alpha, beta
+
+
 def mod_dot(a, b, p: int) -> int:
     """sum(a_i * b_i) mod p over int lists."""
     lib = load()
@@ -529,6 +576,34 @@ def mod_axpy_arr(c: int, x: np.ndarray, y: np.ndarray, p: int) -> np.ndarray:
     out = np.empty((n, 4), dtype=np.uint64)
     lib.vmpc_modvec_axpy(_u64p(_modvec_ctx(p)), _u64p(cc), _u64p(x), _u64p(y),
                          n, _u64p(out))
+    return out
+
+
+def mod_scale_arr(c: int, x: np.ndarray, p: int) -> np.ndarray:
+    lib = load()
+    n = len(x)
+    cc = _ints_to_u64x4([c], p)
+    out = np.empty((n, 4), dtype=np.uint64)
+    lib.vmpc_modvec_scale(_u64p(_modvec_ctx(p)), _u64p(cc), _u64p(x), n,
+                          _u64p(out))
+    return out
+
+
+def mod_weighted_sum_arr(w: np.ndarray, rows: np.ndarray, s: int, n: int,
+                         p: int) -> np.ndarray:
+    lib = load()
+    out = np.empty((n, 4), dtype=np.uint64)
+    lib.vmpc_modvec_weighted_sum(_u64p(_modvec_ctx(p)), _u64p(w), _u64p(rows),
+                                 s, n, _u64p(out))
+    return out
+
+
+def mod_hadamard_arr(a: np.ndarray, b: np.ndarray, p: int) -> np.ndarray:
+    lib = load()
+    n = len(a)
+    out = np.empty((n, 4), dtype=np.uint64)
+    lib.vmpc_modvec_hadamard(_u64p(_modvec_ctx(p)), _u64p(a), _u64p(b), n,
+                             _u64p(out))
     return out
 
 

@@ -278,13 +278,19 @@ static int export_u64x4(PyObject *v, PyObject *modulus, unsigned char *dst) {
     return rc;
 }
 
-/* vals_to_u64x4(seq, ftype, modulus) -> bytes (n*32, little-endian rows)
+/* vals_to_u64x4(seq, ftype, modulus, int_mode=1) -> bytes (n*32,
+ * little-endian rows).
  * elements: exact ints (reduced mod modulus if out of range) or exact
  * ftype instances (their .value, already reduced).  Returns None if an
- * element is neither. */
+ * element is neither.  int_mode gates which plain ints are accepted — the
+ * Python expressions these conversions replace only stay reduced-field-
+ * element-exact for certain int mixes (ops/modvec.py guards):
+ *   0 = ints rejected, 1 = any int allowed, 2 = only the int 0 allowed. */
 static PyObject *vals_to_u64x4(PyObject *self, PyObject *args) {
     PyObject *seq, *ftype, *modulus;
-    if (!PyArg_ParseTuple(args, "OOO", &seq, &ftype, &modulus)) return NULL;
+    int int_mode = 1;
+    if (!PyArg_ParseTuple(args, "OOO|i", &seq, &ftype, &modulus, &int_mode))
+        return NULL;
     PyObject **items;
     Py_ssize_t n;
     if (PyList_CheckExact(seq)) {
@@ -303,6 +309,11 @@ static PyObject *vals_to_u64x4(PyObject *self, PyObject *args) {
     for (Py_ssize_t i = 0; i < n; i++) {
         PyObject *v = items[i];
         if (PyLong_CheckExact(v)) {
+            if (int_mode == 0 ||
+                (int_mode == 2 && _PyLong_Sign(v) != 0)) {
+                Py_DECREF(out);
+                Py_RETURN_NONE;
+            }
             if (export_u64x4(v, modulus, dst + i * 32) < 0) goto fail;
         } else if ((PyObject *)Py_TYPE(v) == ftype && ftype != Py_None) {
             PyObject *val = get_value(v);
@@ -386,6 +397,46 @@ static PyObject *u64x4_to_ints(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* u64x4_to_vals(buffer, ftype) -> list of ftype instances.
+ * Rows are 32-byte little-endian values ALREADY reduced to [0, modulus)
+ * (the native modvec kernels' output contract), so construction skips
+ * ftype.__init__ (whose `value % modulus` is the per-element hot cost)
+ * and sets the `value` slot directly via tp_new + SetAttr. */
+static PyObject *u64x4_to_vals(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    PyObject *ftype;
+    if (!PyArg_ParseTuple(args, "y*O", &view, &ftype)) return NULL;
+    if (!PyType_Check(ftype)) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_TypeError, "expected a field class");
+        return NULL;
+    }
+    PyTypeObject *tp = (PyTypeObject *)ftype;
+    PyObject *empty = PyTuple_New(0);
+    if (!empty) { PyBuffer_Release(&view); return NULL; }
+    Py_ssize_t n = view.len / 32;
+    PyObject *out = PyList_New(n);
+    if (!out) { Py_DECREF(empty); PyBuffer_Release(&view); return NULL; }
+    const unsigned char *src = view.buf;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *v = _PyLong_FromByteArray(src + i * 32, 32, 1, 0);
+        PyObject *inst = v ? tp->tp_new(tp, empty, NULL) : NULL;
+        int rc = inst ? PyObject_SetAttr(inst, str_value, v) : -1;
+        Py_XDECREF(v);
+        if (rc < 0) {
+            Py_XDECREF(inst);
+            Py_DECREF(out);
+            Py_DECREF(empty);
+            PyBuffer_Release(&view);
+            return NULL;
+        }
+        PyList_SET_ITEM(out, i, inst);
+    }
+    Py_DECREF(empty);
+    PyBuffer_Release(&view);
+    return out;
+}
+
 /* u64_to_ed_pts(buffer, ptype) -> list of ptype(x, y, z, t)
  * rows of 128 bytes: x,y,z,t each 32 LE bytes */
 static PyObject *u64_to_ed_pts(PyObject *self, PyObject *args) {
@@ -430,6 +481,8 @@ static PyMethodDef methods[] = {
      "Edwards points -> 128-byte rows (x,y,z,t)."},
     {"u64x4_to_ints", u64x4_to_ints, METH_VARARGS,
      "32-byte little-endian rows -> list of ints."},
+    {"u64x4_to_vals", u64x4_to_vals, METH_VARARGS,
+     "reduced 32-byte rows -> list of field elements (skips __init__)."},
     {"u64_to_ed_pts", u64_to_ed_pts, METH_VARARGS,
      "128-byte rows -> list of Edwards points."},
     {NULL, NULL, 0, NULL},

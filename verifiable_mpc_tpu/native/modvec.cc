@@ -286,6 +286,43 @@ void vmpc_modvec_scale(const u64 *ctx, const u64 *c, const u64 *x, u64 n,
   }
 }
 
+// Sequential multiplication-triples pass (reference circuit_builder.py:
+// 133-151).  vals = [inputs || gamma] as reduced 4-limb rows; for mul
+// gate i, with CSR entries e in [lptr[i], lptr[i+1]) (left) and
+// [rptr[i], rptr[i+1]) (right):
+//   alpha_i = lconst_i + sum_e lcoef[e] * vals[lidx[e]]
+//   beta_i  = rconst_i + sum_e rcoef[e] * vals[ridx[e]]
+//   gamma_i = alpha_i * beta_i;   vals[n_in + i] = gamma_i
+// Inherently sequential: forms reference earlier gates' gamma values.
+void vmpc_modvec_mul_triples(const u64 *ctx, u64 n_in, u64 m,
+                             const u64 *lptr, const u64 *lidx,
+                             const u64 *lcoef, const u64 *lconst,
+                             const u64 *rptr, const u64 *ridx,
+                             const u64 *rcoef, const u64 *rconst,
+                             u64 *vals, u64 *alpha, u64 *beta) {
+  (void)n_in;
+  for (u64 i = 0; i < m; i++) {
+    for (int side = 0; side < 2; side++) {
+      const u64 *ptr = side ? rptr : lptr;
+      const u64 *idx = side ? ridx : lidx;
+      const u64 *coef = side ? rcoef : lcoef;
+      const u64 *cst = side ? rconst : lconst;
+      u64 *o = (side ? beta : alpha) + 4 * i;
+      Acc512 acc;
+      acc.init();
+      u64 prod[8];
+      for (u64 e = ptr[i]; e < ptr[i + 1]; e++) {
+        mul_4x4(coef + 4 * e, vals + 4 * idx[e], prod);
+        acc.add(prod);
+      }
+      u64 s[4];
+      acc.reduce(ctx, s);
+      addmod(ctx, s, cst + 4 * i, o);
+    }
+    mulmod(ctx, alpha + 4 * i, beta + 4 * i, vals + 4 * (n_in + i));
+  }
+}
+
 // out[j] = sum_i w[i] * rows[i*n + j] mod p   (s rows of length n)
 void vmpc_modvec_weighted_sum(const u64 *ctx, const u64 *w, const u64 *rows,
                               u64 s, u64 n, u64 *out) {

@@ -72,6 +72,42 @@ def _scalar_val(c, gf):
     return None
 
 
+def _zero_or_gf_vals(xs, gf):
+    """Canonical ints if every element is a gf element or the int 0."""
+    vals = []
+    for x in xs:
+        if isinstance(x, FiniteFieldElement):
+            if type(x).modulus != gf.modulus:
+                return None
+            vals.append(x.value)
+        elif isinstance(x, int) and x == 0:
+            vals.append(0)
+        else:
+            return None
+    return vals
+
+
+# int_mode for the one-pass C converter (native.vals_to_arr):
+#   0 = gf elements only, 1 = gf elements + any ints, 2 = gf + int 0 only
+_PY_GUARDS = {0: _gf_vals, 1: _mixed_vals, 2: _zero_or_gf_vals}
+
+
+def _arr(xs, gf, int_mode):
+    """[n,4] u64 rows for xs under the given int-mix guard, or None.
+
+    One C pass (type check + .value load + limb export fused) when the
+    extension is available; the per-element Python guards remain the
+    fallback for missing-toolchain setups and same-modulus field
+    *subclasses* (the C path checks exact types only)."""
+    arr = native.vals_to_arr(xs, gf, gf.modulus, int_mode)
+    if arr is not None:
+        return arr
+    vals = _PY_GUARDS[int_mode](xs, gf)
+    if vals is None:
+        return None
+    return native._ints_to_u64x4(vals, gf.modulus)
+
+
 def dot(coeffs, values, gf):
     """<coeffs, values> as a gf element, or None.
 
@@ -81,19 +117,19 @@ def dot(coeffs, values, gf):
     the int terms mod p)."""
     if len(coeffs) < MIN_N or not _native_ok(gf):
         return None
-    cc = _mixed_vals(coeffs, gf)
-    if cc is None:
-        return None
-    vv = _mixed_vals(values, gf)
-    if vv is None or len(vv) != len(cc):
-        return None
     ff = FiniteFieldElement
     if not any(
         isinstance(c, ff) or isinstance(v, ff)
         for c, v in zip(coeffs, values)
     ):
         return None  # all-int dot: Python would give an unreduced int
-    return gf(native.mod_dot(cc, vv, gf.modulus))
+    cc = _arr(coeffs, gf, 1)
+    if cc is None:
+        return None
+    vv = _arr(values, gf, 1)
+    if vv is None or len(vv) != len(cc):
+        return None
+    return gf(native.mod_dot_arr(cc, vv, gf.modulus))
 
 
 def axpy_mixed(c, x, y, gf):
@@ -107,13 +143,13 @@ def axpy_mixed(c, x, y, gf):
     cv = _scalar_val(c, gf)
     if cv is None:
         return None
-    xx = _mixed_vals(x, gf)
+    xx = _arr(x, gf, 1)
     if xx is None:
         return None
-    yy = _mixed_vals(y, gf)
+    yy = _arr(y, gf, 1)
     if yy is None or len(yy) != len(xx):
         return None
-    return [gf(v) for v in native.mod_axpy(cv, xx, yy, gf.modulus)]
+    return native.arr_to_vals(native.mod_axpy_arr(cv, xx, yy, gf.modulus), gf)
 
 
 def axpy(c, x, y, gf):
@@ -126,13 +162,13 @@ def axpy(c, x, y, gf):
     cv = _scalar_val(c, gf)
     if cv is None:
         return None
-    xx = _gf_vals(x, gf)
+    xx = _arr(x, gf, 0)
     if xx is None:
         return None
-    yy = _mixed_vals(y, gf)
+    yy = _arr(y, gf, 1)
     if yy is None or len(yy) != len(xx):
         return None
-    return [gf(v) for v in native.mod_axpy(cv, xx, yy, gf.modulus)]
+    return native.arr_to_vals(native.mod_axpy_arr(cv, xx, yy, gf.modulus), gf)
 
 
 def scale(c, x, gf, zero_ints_ok=False):
@@ -145,22 +181,10 @@ def scale(c, x, gf, zero_ints_ok=False):
     cv = _scalar_val(c, gf)
     if cv is None:
         return None
-    if zero_ints_ok:
-        xx = []
-        for v in x:
-            if isinstance(v, FiniteFieldElement):
-                if type(v).modulus != gf.modulus:
-                    return None
-                xx.append(v.value)
-            elif isinstance(v, int) and v == 0:
-                xx.append(0)
-            else:
-                return None
-    else:
-        xx = _gf_vals(x, gf)
-        if xx is None:
-            return None
-    return [gf(v) for v in native.mod_scale(cv, xx, gf.modulus)]
+    xx = _arr(x, gf, 2 if zero_ints_ok else 0)
+    if xx is None:
+        return None
+    return native.arr_to_vals(native.mod_scale_arr(cv, xx, gf.modulus), gf)
 
 
 def weighted_sum(weights, rows, gf):
@@ -173,26 +197,24 @@ def weighted_sum(weights, rows, gf):
     entry would make the Python column an unreduced int, so we fall back."""
     if not rows or len(rows[0]) < MIN_N or not _native_ok(gf):
         return None
-    ww = _mixed_vals(weights, gf)
+    ww = _arr(weights, gf, 1)
     if ww is None:
         return None
     n = len(rows[0])
-    vals = []
+    import numpy as np
+
+    mats = []
     for r in rows:
         if len(r) != n:
             return None
-        rv = []
-        for x in r:
-            if isinstance(x, FiniteFieldElement):
-                if type(x).modulus != gf.modulus:
-                    return None
-                rv.append(x.value)
-            elif isinstance(x, int) and x == 0:
-                rv.append(0)
-            else:
-                return None
-        vals.append(rv)
-    return [gf(v) for v in native.mod_weighted_sum(ww, vals, gf.modulus)]
+        rr = _arr(r, gf, 2)
+        if rr is None:
+            return None
+        mats.append(rr)
+    flat = np.concatenate(mats)
+    return native.arr_to_vals(
+        native.mod_weighted_sum_arr(ww, flat, len(rows), n, gf.modulus), gf
+    )
 
 
 def hadamard_ints(a, b, gf):
@@ -201,17 +223,21 @@ def hadamard_ints(a, b, gf):
         return None
     if not (all(type(v) is int for v in a) and all(type(v) is int for v in b)):
         return None
-    return [gf(v) for v in native.mod_hadamard(a, b, gf.modulus)]
+    aa = native._ints_to_u64x4(a, gf.modulus)
+    bb = native._ints_to_u64x4(b, gf.modulus)
+    return native.arr_to_vals(
+        native.mod_hadamard_arr(aa, bb, gf.modulus), gf
+    )
 
 
 def hadamard(a, b, gf):
     """[a_i * b_i] as gf elements, or None.  Requires all gf elements."""
     if len(a) < MIN_N or not _native_ok(gf):
         return None
-    aa = _gf_vals(a, gf)
+    aa = _arr(a, gf, 0)
     if aa is None:
         return None
-    bb = _gf_vals(b, gf)
+    bb = _arr(b, gf, 0)
     if bb is None or len(bb) != len(aa):
         return None
-    return [gf(v) for v in native.mod_hadamard(aa, bb, gf.modulus)]
+    return native.arr_to_vals(native.mod_hadamard_arr(aa, bb, gf.modulus), gf)

@@ -149,21 +149,44 @@ def _encode(buf, obj):
             if cached is not None and cached[0] == len(obj.gates):
                 buf.write(cached[1])
                 return
-            sub = io.BytesIO()
-            sub.write(bytes([T_CIRCUIT]))
-            sub.write(struct.pack(">I", len(obj.gates)))
+            # tight loop: gate records are op-str + name-str/int atoms; the
+            # generic _encode dispatch per atom dominates the one-time fill
+            # at 2^16 gates.  Byte-identical to _encode of the same atoms.
+            parts = [bytes([T_CIRCUIT]), struct.pack(">I", len(obj.gates))]
+            ap = parts.append
+            pk_i = struct.Struct(">I").pack
+            tstr = bytes([T_STR])
+            tint = bytes([T_INT])
+            op_enc = {}
+
+            def enc_atom(v):
+                tv = type(v)
+                if tv is str:
+                    raw = v.encode("utf-8")
+                    ap(tstr + pk_i(len(raw)) + raw)
+                elif tv is int:
+                    raw = v.to_bytes(
+                        (v.bit_length() + 8) // 8 or 1, "big", signed=True
+                    )
+                    ap(tint + pk_i(len(raw)) + raw)
+                else:
+                    b = io.BytesIO()
+                    _encode(b, v)
+                    ap(b.getvalue())
+
             for g in obj.gates:
-                _encode(sub, str(g.op))
-                _encode(
-                    sub,
-                    g.output.name
-                    if isinstance(g.output, CircuitVar)
-                    else g.output,
-                )
-                sub.write(struct.pack(">I", len(g.inputs)))
-                for i in g.inputs:
-                    _encode(sub, i.name if isinstance(i, CircuitVar) else i)
-            raw = sub.getvalue()
+                ob = op_enc.get(g.op)
+                if ob is None:
+                    raw = str(g.op).encode("utf-8")
+                    ob = op_enc[g.op] = tstr + pk_i(len(raw)) + raw
+                ap(ob)
+                out_v = g.output
+                enc_atom(out_v.name if isinstance(out_v, CircuitVar) else out_v)
+                ins = g.inputs
+                ap(pk_i(len(ins)))
+                for i in ins:
+                    enc_atom(i.name if isinstance(i, CircuitVar) else i)
+            raw = b"".join(parts)
             obj._enc_cache = (len(obj.gates), raw)
             buf.write(raw)
         elif isinstance(obj, CircuitVar):
