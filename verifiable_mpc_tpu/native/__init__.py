@@ -22,6 +22,7 @@ import numpy as np
 _HERE = os.path.dirname(__file__)
 _SRCS = [
     os.path.join(_HERE, "ed25519.cc"),
+    os.path.join(_HERE, "ed25519_ifma.cc"),
     os.path.join(_HERE, "bn256.cc"),
     os.path.join(_HERE, "ntt.cc"),
     os.path.join(_HERE, "modvec.cc"),

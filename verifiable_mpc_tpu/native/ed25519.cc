@@ -453,12 +453,29 @@ void vmpc_ed_batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
   }
 }
 
+// AVX-512 IFMA tier (ed25519_ifma.cc): 8-point-parallel blocks
+int vmpc_ed_ifma_available(void);
+void vmpc_ed_fold_block8(const u64 *gl, const u64 *gr, u64 lo, u64 m,
+                         const signed char *digits, int len, u64 *out);
+void vmpc_ed_smul_block8(const u64 *pts, u64 lo, u64 m,
+                         const signed char *digits, int len, u64 *out);
+
 // gl, gr: n*16, c: 4 u64, out: n*16  (out_i = gl_i^c * gr_i)
 void vmpc_ed_fold(const u64 *gl, const u64 *gr, const u64 *c, u64 n, u64 *out) {
   init_constants();
   // one wNAF recode of the shared challenge for the whole vector
   signed char digits[260];
   int len = wnaf5(c, digits);
+  if (vmpc_ed_ifma_available() && n >= 8) {
+    long long nblocks = (long long)((n + 7) / 8);
+#pragma omp parallel for schedule(static)
+    for (long long b = 0; b < nblocks; b++) {
+      u64 lo = (u64)b * 8;
+      u64 m = n - lo < 8 ? n - lo : 8;
+      vmpc_ed_fold_block8(gl, gr, lo, m, digits, len, out);
+    }
+    return;
+  }
 #pragma omp parallel for schedule(static)
   for (long long i = 0; i < (long long)n; i++) {
     Pt l, r, s, tmp;
