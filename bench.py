@@ -49,7 +49,10 @@ def main():
     # ---- TPU kernel rate at bench size -----------------------------------
     from verifiable_mpc_tpu.ops import msm_pallas as mp
 
-    n = 1 << 14
+    import os
+
+    log2n = int(os.environ.get("BENCH_LOG2_N", "14"))
+    n = 1 << log2n
     chunk, sub = 128, 8  # fused Pallas kernel tile
     pts_small = [g ** int(e) for e in rng.randint(1, 1 << 62, 256)]
     pts = [pts_small[i % 256] for i in range(n)]  # distinct-enough bases
@@ -89,7 +92,7 @@ def main():
     t_kernel = (time.perf_counter() - t0) / reps
     tpu_rate = n / t_kernel
     print(
-        f"TPU MSM n=2^14: {t_kernel:.3f}s/msm -> {tpu_rate:.0f} points/s",
+        f"TPU MSM n=2^{log2n}: {t_kernel:.3f}s/msm -> {tpu_rate:.0f} points/s",
         file=sys.stderr,
     )
 
