@@ -29,7 +29,6 @@ def main():
     _enable_compile_cache()
 
     from verifiable_mpc_tpu.groups.edwards import ELL, EdwardsPoint
-    from verifiable_mpc_tpu.ops import curve_ed as ced
     from verifiable_mpc_tpu.ops import dispatch
     from verifiable_mpc_tpu.ops import msm as msm_mod
 
@@ -51,15 +50,22 @@ def main():
 
     import os
 
-    log2n = int(os.environ.get("BENCH_LOG2_N", "14"))
-    n = 1 << log2n
     chunk, sub = 128, 8  # fused Pallas kernel tile
+    raw = os.environ.get("BENCH_LOG2_N", "14")
+    try:
+        log2n = int(raw)
+    except ValueError:
+        sys.exit(f"BENCH_LOG2_N={raw!r} is not an integer")
+    if log2n < 10:
+        # the fused kernel tiles n into chunk*sub = 1024-point blocks
+        sys.exit(f"BENCH_LOG2_N={log2n} too small: need >= 10 (n divisible by {chunk * sub})")
+    n = 1 << log2n
     pts_small = [g ** int(e) for e in rng.randint(1, 1 << 62, 256)]
     pts = [pts_small[i % 256] for i in range(n)]  # distinct-enough bases
     scalars = [int.from_bytes(rng.bytes(31), "little") % ELL for i in range(n)]
 
     t0 = time.perf_counter()
-    dev_pts = ced.encode_points(pts)
+    dev_pts = mp.ED.encode(pts)  # plain residues (pseudo-Mersenne domain)
     digits_host = mp._scalar_digits_signed(scalars)
     print(f"encode: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
@@ -101,16 +107,15 @@ def main():
     expect = dispatch._host_multiexp(pts[:32], scalars[:32])
     assert small == expect, "MSM correctness check failed"
 
-    print(
-        json.dumps(
-            {
-                "metric": "msm_points_per_sec_per_chip_ed25519",
-                "value": round(tpu_rate, 1),
-                "unit": "points/s",
-                "vs_baseline": round(tpu_rate / host_rate, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "msm_points_per_sec_per_chip_ed25519",
+        "value": round(tpu_rate, 1),
+        "unit": "points/s",
+        "vs_baseline": round(tpu_rate / host_rate, 2),
+    }
+    if log2n != 14:
+        record["log2_n"] = log2n  # non-default size: rates are size-dependent
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

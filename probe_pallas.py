@@ -40,7 +40,7 @@ def main():
     pts_small = [g ** int(e) for e in rng.randint(1, 1 << 62, 256)]
     pts = [pts_small[i % 256] for i in range(n)]
     scalars = [int.from_bytes(rng.bytes(31), "little") % ELL for _ in range(n)]
-    dev_pts = ced.encode_points(pts)
+    dev_pts = mp.ED.encode(pts)
     digits = jnp.asarray(mp._scalar_digits_signed(scalars))
     kern = mp._build(n, 128, 8, 64, False)
     t0 = time.perf_counter()

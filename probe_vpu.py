@@ -71,49 +71,58 @@ def main():
         rate = ITERS * np.prod(SHAPE) * nops / dt
         print(f"{name}: {dt*1e3:.2f} ms -> {rate/1e9:.1f} Gop/s", file=sys.stderr)
 
-    # mont_mul on a [16, 8, 128] tile, 200 iterations
+    # field muls on a [16, 64, 128] tile: Montgomery REDC vs pseudo-Mersenne
     from verifiable_mpc_tpu.ops import limbs_lm as lm
-    from verifiable_mpc_tpu.ops import msm_pallas as mp
+    from verifiable_mpc_tpu.groups.edwards import P as ED_P
 
-    k = mp._consts()
+    p_limbs = lm.int_to_scalar_limbs(ED_P)
+    n_prime = lm.int_to_scalar_limbs((-pow(ED_P, -1, 1 << 256)) % (1 << 256))
     M_ITERS = 2000
     MB = (16, 64, 128)
 
-    def mont_kernel(x_ref, y_ref, o_ref):
-        y = y_ref[:]
+    def mk_field(body_fn):
+        def kernel(x_ref, y_ref, o_ref):
+            y = y_ref[:]
 
-        def body(_, x):
-            return lm.mont_mul(x, y, k["p"], k["np"])
+            def body(_, x):
+                return body_fn(x, y)
 
-        o_ref[:] = jax.lax.fori_loop(0, M_ITERS, body, x_ref[:])
+            o_ref[:] = jax.lax.fori_loop(0, M_ITERS, body, x_ref[:])
 
-    @jax.jit
-    def mont_run(x, y):
-        return pl.pallas_call(
-            mont_kernel,
-            out_shape=jax.ShapeDtypeStruct(MB, jnp.uint32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            ),
-        )(x, y)
+        @jax.jit
+        def run(x, y):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(MB, jnp.uint32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+            )(x, y)
 
+        return run
+
+    field_cases = {
+        "mont_mul": mk_field(lambda x, y: lm.mont_mul(x, y, p_limbs, n_prime)),
+        "mul25519": mk_field(lm.mul25519),
+    }
     xm = jnp.asarray(rng.randint(0, 1 << 16, MB).astype(np.uint32))
     ym = jnp.asarray(rng.randint(0, 1 << 16, MB).astype(np.uint32))
-    out = mont_run(xm, ym)
-    jax.block_until_ready(out)
-    _ = np.asarray(mont_run(xm, ym))
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        _ = np.asarray(mont_run(xm, ym))
-    dt = (time.perf_counter() - t0) / reps
-    per_lane = MB[1] * MB[2]
-    rate = M_ITERS * per_lane / dt
-    print(
-        f"mont_mul[16,8,128] x{M_ITERS}: {dt*1e3:.2f} ms -> "
-        f"{rate/1e6:.2f} M montmul-lanes/s",
-        file=sys.stderr,
-    )
+    for name, run in field_cases.items():
+        out = run(xm, ym)
+        jax.block_until_ready(out)
+        _ = np.asarray(run(xm, ym))
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            _ = np.asarray(run(xm, ym))
+        dt = (time.perf_counter() - t0) / reps
+        per_lane = MB[1] * MB[2]
+        rate = M_ITERS * per_lane / dt
+        print(
+            f"{name}[16,64,128] x{M_ITERS}: {dt*1e3:.2f} ms -> "
+            f"{rate/1e6:.2f} M fieldmul-lanes/s",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

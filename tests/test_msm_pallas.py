@@ -29,14 +29,16 @@ def _ints(rows):
 
 
 def test_limbs_lm_mont_mul_oracle():
+    """Montgomery path (kept for non-Mersenne moduli, e.g. BN254)."""
     from verifiable_mpc_tpu.groups.edwards import P
 
-    k = mp._consts()
+    p_limbs = lm.int_to_scalar_limbs(P)
+    n_prime = lm.int_to_scalar_limbs((-pow(P, -1, 1 << 256)) % (1 << 256))
     n = 8
     xs = [rng.randrange(P) for _ in range(n)]
     ys = [rng.randrange(P) for _ in range(n)]
     R = 1 << 256
-    got = _ints(lm.mont_mul(_rows(xs), _rows(ys), k["p"], k["np"]))
+    got = _ints(lm.mont_mul(_rows(xs), _rows(ys), p_limbs, n_prime))
     expect = [x * y * pow(R, -1, P) % P for x, y in zip(xs, ys)]
     assert got == expect
 
@@ -44,16 +46,44 @@ def test_limbs_lm_mont_mul_oracle():
 def test_limbs_lm_add_sub_mod_oracle():
     from verifiable_mpc_tpu.groups.edwards import P
 
-    k = mp._consts()
+    p_limbs = lm.int_to_scalar_limbs(P)
     n = 8
     xs = [rng.randrange(P) for _ in range(n)] + [P - 1, 0]
     ys = [rng.randrange(P) for _ in range(n)] + [P - 1, 0]
-    assert _ints(lm.add_mod(_rows(xs), _rows(ys), k["p"])) == [
+    assert _ints(lm.add_mod(_rows(xs), _rows(ys), p_limbs)) == [
         (x + y) % P for x, y in zip(xs, ys)
     ]
-    assert _ints(lm.sub_mod(_rows(xs), _rows(ys), k["p"])) == [
+    assert _ints(lm.sub_mod(_rows(xs), _rows(ys), p_limbs)) == [
         (x - y) % P for x, y in zip(xs, ys)
     ]
+
+
+def test_limbs_lm_p25519_oracle():
+    """Relaxed pseudo-Mersenne ops: outputs are < 2^256 and congruent mod p;
+    closure under composition (outputs feed back in as relaxed inputs)."""
+    from verifiable_mpc_tpu.groups.edwards import P
+
+    n = 8
+    # relaxed inputs: anywhere in [0, 2^256), including extremes
+    xs = [rng.randrange(1 << 256) for _ in range(n)] + [0, (1 << 256) - 1, P, 2 * P]
+    ys = [rng.randrange(1 << 256) for _ in range(n)] + [(1 << 256) - 1, 0, P - 1, 38]
+    xr, yr = _rows(xs), _rows(ys)
+
+    def check(rows, expect_fn):
+        got = _ints(rows)
+        for g, x, y in zip(got, xs, ys):
+            assert 0 <= g < (1 << 256)
+            assert g % P == expect_fn(x, y) % P
+
+    check(lm.mul25519(xr, yr), lambda x, y: x * y)
+    check(lm.add25519(xr, yr), lambda x, y: x + y)
+    check(lm.sub25519(xr, yr), lambda x, y: x - y)
+    check(lm.neg25519(yr), lambda x, y: -y)
+    c = 2 * 0x2406D9DC56DFFCE7198E80F2EEF3D13000E0149A8283B156EBD69B9426B2F159 % P
+    check(lm.mul25519_const(xr, lm.int_to_scalar_limbs(c)), lambda x, y: x * c)
+    # composition: (x*y + x) - y stays in-domain and congruent
+    comp = lm.sub25519(lm.add25519(lm.mul25519(xr, yr), xr), yr)
+    check(comp, lambda x, y: x * y + x - y)
 
 
 def test_signed_recoding_roundtrip():

@@ -142,3 +142,36 @@ def decode_points(dev) -> list:
 
 def decode_point(dev) -> EdwardsPoint:
     return decode_points(tuple(a[None] if a.ndim == 1 else a for a in dev))[0]
+
+
+# --- plain (non-Montgomery) boundary for the pseudo-Mersenne Pallas path ---
+
+
+def encode_points_plain(points) -> tuple:
+    """List of EdwardsPoint -> plain limb tensors ([n, 16] each).
+
+    No device-side Montgomery conversion: the fused Pallas kernels run
+    directly on plain residues with x38 pseudo-Mersenne folding
+    (ops/limbs_lm.py reduce25519), so encoding is one host conversion."""
+    xs, ys, zs, ts = [], [], [], []
+    for pt in points:
+        xs.append(pt.x)
+        ys.append(pt.y)
+        zs.append(pt.z)
+        ts.append(pt.t)
+    return tuple(jnp.asarray(lb.ints_to_limbs(v)) for v in (xs, ys, zs, ts))
+
+
+def decode_points_plain(dev) -> list:
+    """Plain limb tensors (relaxed: values < 2^256) -> list of EdwardsPoint."""
+    coords = [lb.limbs_to_ints(np.asarray(a)) for a in dev]
+    return [
+        EdwardsPoint(x % ED_P, y % ED_P, z % ED_P, t % ED_P)
+        for x, y, z, t in zip(*coords)
+    ]
+
+
+def decode_point_plain(dev) -> EdwardsPoint:
+    return decode_points_plain(
+        tuple(a[None] if a.ndim == 1 else a for a in dev)
+    )[0]

@@ -203,6 +203,98 @@ def mont_mul_const(a, c_mont_ints, p_ints, nprime_ints):
     return mont_redc(mul_wide_const(a, c_mont_ints, 2 * L), p_ints, nprime_ints)
 
 
+# ---------------------------------------------------------------------------
+# pseudo-Mersenne arithmetic mod p25519 = 2^255 - 19
+#
+# Ed25519's prime admits a far cheaper reduction than Montgomery REDC:
+# 2^256 == 38 (mod p), so the high columns of a schoolbook product fold back
+# into the low 16 with a single x38 scale instead of two extra full 16-limb
+# multiplies.  Values here live in the RELAXED domain: 16 canonical limbs
+# (< 2^16 each), value anywhere in [0, 2^256) congruent to the intended
+# residue — only the host decode reduces fully mod p.  Per field-mul this is
+# ~2.6x fewer VPU ops than mont_mul (the REDC path is kept below for
+# non-Mersenne moduli, e.g. BN254).
+# ---------------------------------------------------------------------------
+
+P25519 = (1 << 255) - 19
+
+
+def _fold_top25519(s, out_rows: int):
+    """[17,*B] canonical -> row16 folded into row0 with weight 38."""
+    row0 = (s[0] + jnp.uint32(38) * s[16])[None]
+    return carry(jnp.concatenate([row0, s[1:16]], axis=0), out_rows)
+
+
+def reduce25519(cols):
+    """Column tensor [R,*B] (16 <= R <= 33, entries < 2^27) -> [16,*B]
+    canonical limbs; value < 2^256, congruent mod 2^255 - 19.
+
+    2^(256+16j) == 38 * 2^16j (mod p): rows >= 16 fold back with weight 38
+    (row 32, when present, folds twice: weight 38^2 = 1444).  Entry bounds:
+    38 * 2^27 + 2^27 < 2^32 keeps everything exact in u32; the folded value
+    is < 2^268, so one 17-row carry plus two fold-the-top passes produce a
+    canonical 16-row result < 2^256 (the second fold's top is in {0, 1} and
+    when it is 1 the remaining value is tiny, so no carry escapes row 15)."""
+    R = cols.shape[0]
+    assert 16 <= R <= 33
+    lo = cols[:16]
+    if R > 16:
+        hi = jnp.uint32(38) * cols[16 : min(R, 32)]
+        lo = lo + _shift(hi, 0, 16)
+    if R == 33:
+        top = jnp.uint32(38 * 38) * cols[32]
+        lo = jnp.concatenate([(lo[0] + top)[None], lo[1:]], axis=0)
+    s = carry(lo, 17)
+    s = _fold_top25519(s, 17)
+    return _fold_top25519(s, 16)
+
+
+def mul25519(a, b):
+    """a * b mod p25519 (relaxed domain, [16,*B] each)."""
+    L = a.shape[0]
+    cols = _mul_cols(a, ((j, b[j]) for j in range(L)), 2 * L + 1)
+    return reduce25519(cols)
+
+
+def mul25519_const(a, c_ints):
+    """a times a compile-time constant (plain residue limbs)."""
+    pairs = ((j, jnp.uint32(cj)) for j, cj in enumerate(c_ints) if cj != 0)
+    cols = _mul_cols(a, pairs, 2 * a.shape[0] + 1)
+    return reduce25519(cols)
+
+
+def add25519(a, b):
+    return reduce25519(a + b)
+
+
+# 2^257 - 76 == 2p25519 * 2 in borrow-free per-limb form: every limb m_k is
+# >= 0xffff (so m_k - b_k never underflows in u32) and sum(m_k 2^16k) is
+# exactly 2^257 - 76 -- the standard telescoping-borrow constant used to
+# compute subtraction as an addition.
+_M2P25519 = tuple(
+    (((1 << 257) - 76) & MASK) + (1 << LIMB_BITS)
+    if k == 0
+    else ((((1 << 257) - 76) >> (LIMB_BITS * k)) & MASK) - 1 + (1 << LIMB_BITS)
+    for k in range(16)
+)
+assert sum(m << (LIMB_BITS * k) for k, m in enumerate(_M2P25519)) == (1 << 257) - 76
+
+
+def sub25519(a, b):
+    """a - b mod p25519: a + (2^257 - 76) - b, always non-negative."""
+    cols = jnp.stack(
+        [a[k] + jnp.uint32(_M2P25519[k]) - b[k] for k in range(16)], axis=0
+    )
+    return reduce25519(cols)
+
+
+def neg25519(b):
+    cols = jnp.stack(
+        [jnp.uint32(_M2P25519[k]) - b[k] for k in range(16)], axis=0
+    )
+    return reduce25519(cols)
+
+
 def const_rows(c_ints, batch_shape):
     """Constant limbs -> [L, *batch] tensor built from per-row splats
     (no non-splat constant tensor is materialized)."""

@@ -78,39 +78,31 @@ def _scalar_digits_signed(scalars, order: int = ELL) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Ed25519 curve adapter (extended coordinates, a=-1 unified formulas)
+# Ed25519 curve adapter (extended coordinates, a=-1 unified formulas) in the
+# PLAIN pseudo-Mersenne domain: field ops are limbs_lm.*25519 (x38 folding,
+# ~2.6x fewer VPU ops per mul than the Montgomery REDC path used for BN254)
 # ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=None)
 def _consts():
-    c = ced.ctx()
-    return {
-        "p": lm.int_to_scalar_limbs(int(c.p)),
-        "np": tuple(int(v) for v in np.asarray(c.n_prime_limbs)),
-        "two_d": tuple(int(v) for v in np.asarray(c.two_d_mont)),
-        "one": tuple(int(v) for v in np.asarray(c.one_mont)),
-    }
+    from ..groups.edwards import D, P
+
+    return {"two_d": lm.int_to_scalar_limbs(2 * D % P)}
 
 
 def ed_add_lm(p, q, k):
     """Complete unified Edwards addition (add-2008-hwcd-3) on limb-major
-    [L,*B] coordinates; mirrors curve_ed.add_with_constants."""
-
-    def mul(a, b):
-        return lm.mont_mul(a, b, k["p"], k["np"])
-
-    def add_(a, b):
-        return lm.add_mod(a, b, k["p"])
-
-    def sub_(a, b):
-        return lm.sub_mod(a, b, k["p"])
+    [L,*B] coordinates, relaxed pseudo-Mersenne domain."""
+    mul = lm.mul25519
+    add_ = lm.add25519
+    sub_ = lm.sub25519
 
     x1, y1, z1, t1 = p
     x2, y2, z2, t2 = q
     a = mul(sub_(y1, x1), sub_(y2, x2))
     b = mul(add_(y1, x1), add_(y2, x2))
-    cc = mul(lm.mont_mul_const(t1, k["two_d"], k["p"], k["np"]), t2)
+    cc = mul(lm.mul25519_const(t1, k["two_d"]), t2)
     d = mul(add_(z1, z1), z2)
     e = sub_(b, a)
     f = sub_(d, cc)
@@ -122,24 +114,20 @@ def ed_add_lm(p, q, k):
 def ed_dbl_lm(p, k):
     """Dedicated doubling (dbl-2008-hwcd, a=-1): 4 squares + 4 muls — the
     hot op of the Horner ladders (T1 is not needed)."""
-
-    def mul(a, b):
-        return lm.mont_mul(a, b, k["p"], k["np"])
+    mul = lm.mul25519
 
     def sq(a):
-        return lm.mont_sq(a, k["p"], k["np"])
+        return lm.mul25519(a, a)
 
     x1, y1, z1, _ = p
     a = sq(x1)
     b = sq(y1)
     sz = sq(z1)
-    c = lm.add_mod(sz, sz, k["p"])
-    e = lm.sub_mod(
-        lm.sub_mod(sq(lm.add_mod(x1, y1, k["p"])), a, k["p"]), b, k["p"]
-    )
-    g = lm.sub_mod(b, a, k["p"])  # D + B with D = -A
-    f = lm.sub_mod(g, c, k["p"])
-    h = lm.neg_mod(lm.add_mod(a, b, k["p"]), k["p"])  # D - B
+    c = lm.add25519(sz, sz)
+    e = lm.sub25519(lm.sub25519(sq(lm.add25519(x1, y1)), a), b)
+    g = lm.sub25519(b, a)  # D + B with D = -A
+    f = lm.sub25519(g, c)
+    h = lm.neg25519(lm.add25519(a, b))  # D - B
     return (mul(e, f), mul(g, h), mul(f, g), mul(e, h))
 
 
@@ -158,7 +146,7 @@ class _EdAdapter:
     @staticmethod
     def identity(batch_shape, k):
         zero = lm.const_rows((0,) * L, batch_shape)
-        one = lm.const_rows(k["one"], batch_shape)
+        one = lm.const_rows((1,) + (0,) * (L - 1), batch_shape)
         return (zero, one, one, zero)
 
     @staticmethod
@@ -166,22 +154,22 @@ class _EdAdapter:
         """-(x, y, z, t) = (-x, y, z, -t) where mask (broadcast [1,*B])."""
         x, y, z, t = p
         return (
-            jnp.where(mask, lm.neg_mod(x, k["p"]), x),
+            jnp.where(mask, lm.neg25519(x), x),
             y,
             z,
-            jnp.where(mask, lm.neg_mod(t, k["p"]), t),
+            jnp.where(mask, lm.neg25519(t), t),
         )
 
-    # host <-> device
-    encode = staticmethod(ced.encode_points)
+    # host <-> device (plain residues: no Montgomery conversion either way)
+    encode = staticmethod(ced.encode_points_plain)
 
     @staticmethod
     def decode_one(dev):
-        return ced.decode_point(dev)
+        return ced.decode_point_plain(dev)
 
     @staticmethod
     def decode_many(dev):
-        return ced.decode_points(dev)
+        return ced.decode_points_plain(dev)
 
 
 ED = _EdAdapter()
