@@ -50,15 +50,15 @@ def main():
 
     import os
 
-    chunk, sub = 128, 8  # fused Pallas kernel tile
+    chunk, sub = 128, 32  # fused Pallas kernel tile (sub=32 amortizes launches)
     raw = os.environ.get("BENCH_LOG2_N", "14")
     try:
         log2n = int(raw)
     except ValueError:
         sys.exit(f"BENCH_LOG2_N={raw!r} is not an integer")
-    if log2n < 10:
-        # the fused kernel tiles n into chunk*sub = 1024-point blocks
-        sys.exit(f"BENCH_LOG2_N={log2n} too small: need >= 10 (n divisible by {chunk * sub})")
+    if log2n < 12:
+        # the fused kernel tiles n into chunk*sub = 4096-point blocks
+        sys.exit(f"BENCH_LOG2_N={log2n} too small: need >= 12 (n divisible by {chunk * sub})")
     n = 1 << log2n
     pts_small = [g ** int(e) for e in rng.randint(1, 1 << 62, 256)]
     pts = [pts_small[i % 256] for i in range(n)]  # distinct-enough bases
@@ -90,11 +90,10 @@ def main():
         for i in range(reps + 2)
     ]
     for i in range(2):
-        _ = [np.asarray(a) for a in kern(dev_pts, variants[i])]
+        _ = np.asarray(kern(dev_pts, variants[i]))
     t0 = time.perf_counter()
     for i in range(reps):
-        out = kern(dev_pts, variants[2 + i])
-        _ = [np.asarray(a) for a in out]
+        _ = np.asarray(kern(dev_pts, variants[2 + i]))
     t_kernel = (time.perf_counter() - t0) / reps
     tpu_rate = n / t_kernel
     print(

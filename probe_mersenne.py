@@ -50,7 +50,7 @@ def main():
               file=sys.stderr)
         t0 = time.perf_counter()
         out = tail_fn(acc)
-        _ = [np.asarray(a) for a in out]
+        _ = np.asarray(out)
         print(f"sub={sub}: compile+first tail {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
 
@@ -61,7 +61,7 @@ def main():
             for i in range(steps):
                 acc = step_fn(digs[i], ptss[i], acc)
             out = tail_fn(acc)
-            _ = [np.asarray(a) for a in out]
+            _ = np.asarray(out)
             dt = time.perf_counter() - t0
             print(
                 f"sub={sub} rep{rep}: full msm {dt*1e3:.1f} ms "
@@ -72,9 +72,25 @@ def main():
         t0 = time.perf_counter()
         for _ in range(3):
             out = tail_fn(acc)
-            _ = [np.asarray(a) for a in out]
+            _ = np.asarray(out)
         print(f"sub={sub}: tail steady {(time.perf_counter()-t0)/3*1e3:.1f} ms",
               file=sys.stderr)
+
+        # how async is dispatch? time the launch loop without materializing
+        t0 = time.perf_counter()
+        acc2 = init_fn()
+        for i in range(steps):
+            acc2 = step_fn(digs[i], ptss[i], acc2)
+        t_disp = time.perf_counter() - t0
+        out = tail_fn(acc2)
+        t_tail = time.perf_counter() - t0 - t_disp
+        _ = np.asarray(out)
+        t_all = time.perf_counter() - t0
+        print(
+            f"sub={sub}: step-dispatch {t_disp*1e3:.1f} ms, tail-dispatch "
+            f"{t_tail*1e3:.1f} ms, +materialize -> {t_all*1e3:.1f} ms",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

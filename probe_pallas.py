@@ -56,10 +56,10 @@ def main():
         for i in range(reps + 2)
     ]
     for i in range(2):
-        _ = [np.asarray(a) for a in kern(dev_pts, variants[i])]
+        _ = np.asarray(kern(dev_pts, variants[i]))
     t0 = time.perf_counter()
     for i in range(reps):
-        _ = [np.asarray(a) for a in kern(dev_pts, variants[2 + i])]
+        _ = np.asarray(kern(dev_pts, variants[2 + i]))
     t_k = (time.perf_counter() - t0) / reps
     print(
         f"fused Pallas MSM n=2^14: {t_k:.3f}s/msm -> {n/t_k:.0f} points/s",

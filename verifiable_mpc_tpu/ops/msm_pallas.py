@@ -74,7 +74,10 @@ def _scalar_digits_signed(scalars, order: int = ELL) -> np.ndarray:
         out[w] = d - 16 * carry
     assert not carry.any(), "scalar overflow in signed recoding"
     out[:, neg] = -out[:, neg]
-    return np.ascontiguousarray(out[::-1].astype(np.int32))  # MSB first
+    # int8 halves nothing in VMEM (the kernel widens to i32 on device) but
+    # quarters the per-MSM host->device digit upload, which is a large part
+    # of MSM wall time on the tunnel backend
+    return np.ascontiguousarray(out[::-1].astype(np.int8))  # MSB first
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +321,9 @@ def _chunk_call(curve, chunk: int, sub: int, nwindows: int, interpret: bool):
     call = _chunk_pallas(curve, chunk, sub, nwindows, interpret)
 
     def step(digits, pts, acc):
-        return tuple(call(digits, *pts, *acc))
+        # digits arrive as int8 (cheap host->device transfer); the kernel
+        # works on i32 tiles, so widen on device
+        return tuple(call(digits.astype(jnp.int32), *pts, *acc))
 
     return jax.jit(step, donate_argnums=(2,))
 
@@ -344,7 +349,10 @@ def _tail_call(curve, chunk: int, nwindows: int, interpret: bool):
 
     def tail(acc):
         final = call(*acc)
-        return tuple(a[:, 0] for a in final)
+        # ONE stacked [nc, L] output: the caller fetches the result with a
+        # single host transfer — per-coordinate fetches cost a full tunnel
+        # round trip each (~28 ms) and dominated MSM wall time
+        return jnp.stack([a[:, 0] for a in final])
 
     return jax.jit(tail)
 
@@ -409,6 +417,10 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
         interpret = jax.default_backend() == "cpu"
     n = len(points)
     assert n == len(scalars)
+    if sub is None:
+        # two tile shapes only (each is its own Mosaic compile): the wide
+        # tile amortizes launch overhead once the batch fills it
+        sub = 32 if n >= 32 * chunk else 8
     # pad up to a single (chunk, sub) kernel shape: each distinct shape is a
     # separate Mosaic compile (~minutes on the TPU tunnel), and identity
     # padding costs at most one extra grid step
@@ -430,10 +442,10 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
         nw = 8 if windows_needed <= 8 else NWINDOWS
     digits = jnp.asarray(digits_np[NWINDOWS - nw:])
     out = _build_for(curve, target, chunk, sub, nw, interpret)(dev_pts, digits)
-    return curve.decode_one(out)
+    return curve.decode_one(tuple(np.asarray(out)))  # one [nc, L] transfer
 
 
-def msm(points, scalars, chunk: int = 128, sub: int = 8,
+def msm(points, scalars, chunk: int = 128, sub: int | None = None,
         interpret: bool | None = None):
     """prod points[i] ** scalars[i] via the fused Pallas kernel (Ed25519)."""
     return _msm_generic(ED, points, scalars, chunk, sub, interpret)
@@ -692,7 +704,7 @@ def _bexp_chunk_call(curve, chunk: int, sub: int, nw: int, interpret: bool):
     call = _bexp_pallas(curve, chunk, sub, nw, interpret)
 
     def step(digits, tbl):
-        return tuple(call(digits, *tbl))
+        return tuple(call(digits.astype(jnp.int32), *tbl))
 
     return jax.jit(step)
 

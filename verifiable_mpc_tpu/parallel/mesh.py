@@ -156,7 +156,7 @@ def _sharded_msm_fused_kernel(curve, n: int, chunk: int, sub: int, nw: int,
             jnp.transpose(a, (1, 0)).reshape(Lb, steps, sub, chunk)
             for a in points_bm
         ]
-        digs = digits.reshape(nw, steps, sub, chunk)
+        digs = digits.astype(jnp.int32).reshape(nw, steps, sub, chunk)
         acc = curve.identity((nw, chunk), k)
         for i in range(steps):
             acc = tuple(call(digs[:, i], *(a[:, i] for a in lmaj), *acc))
