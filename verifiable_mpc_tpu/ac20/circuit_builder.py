@@ -150,23 +150,43 @@ class Circuit:
         Uses memoized *sparse* wire forms and an in-place value vector, so
         the whole pass is O(total nonzeros) instead of the reference's
         O(m^2) dense evaluation — required at 2^16 gates."""
+        # memoized for plain values: the protocol-8 prover computes the
+        # triples and then evaluates the output gates (Circuit.__call__),
+        # which re-derives the identical pass over the same inputs
+        plain = all(
+            isinstance(v, (int, FiniteFieldElement)) for v in inputs
+        )
+        memo = getattr(self, "_triples_memo", None)
+        if (
+            plain
+            and memo is not None
+            and memo[0] == self.gate_ct
+            # identity first: the O(n) value comparison costs as much as
+            # the native triples pass itself at 2^16
+            and (memo[1] is inputs or list(memo[1]) == list(inputs))
+        ):
+            return memo[2]
         mul_gs = self.mul_gates()
         left_forms = [construct_sparse_form(g, self, wire=0) for g in mul_gs]
         right_forms = [construct_sparse_form(g, self, wire=1) for g in mul_gs]
-        fast = _native_triples(self, left_forms, right_forms, inputs)
-        if fast is not None:
-            return fast
-        alpha = [0] * self.mul_ct
-        beta = [0] * self.mul_ct
-        gamma = [0] * self.mul_ct
-        vals = list(inputs) + gamma
-        n = self.input_ct
-        for i in range(self.mul_ct):
-            alpha[i] = left_forms[i].eval(vals)
-            beta[i] = right_forms[i].eval(vals)
-            gamma[i] = alpha[i] * beta[i]
-            vals[n + i] = gamma[i]
-        return alpha, beta, gamma
+        result = _native_triples(self, left_forms, right_forms, inputs)
+        if result is None:
+            alpha = [0] * self.mul_ct
+            beta = [0] * self.mul_ct
+            gamma = [0] * self.mul_ct
+            vals = list(inputs) + gamma
+            n = self.input_ct
+            for i in range(self.mul_ct):
+                alpha[i] = left_forms[i].eval(vals)
+                beta[i] = right_forms[i].eval(vals)
+                gamma[i] = alpha[i] * beta[i]
+                vals[n + i] = gamma[i]
+            result = (alpha, beta, gamma)
+        if plain:
+            # keep the original list object alive so the identity check
+            # stays valid for the common call-twice-with-same-list pattern
+            self._triples_memo = (self.gate_ct, inputs, result)
+        return result
 
     def eval(self, inputs, gate):
         _, _, gamma = self.multiplication_triples(inputs)

@@ -204,8 +204,29 @@ def vector_commitment(x, gamma, g, h):
 
 def affine_to_linear(L, y, n):
     """Shift an affine form (and claimed evaluation) to a linear form
-    (reference pivot.py:148-153)."""
-    constant = L([0] * n)
+    (reference pivot.py:148-153).
+
+    The reference computes the constant as ``L([0]*n)`` — an O(n) field
+    pass over a zero vector whose only effect is coercing the constant to
+    the coefficients' field.  Reproduce that coercion with a type scan
+    (no arithmetic); any exotic coefficient type falls back to the
+    reference expression."""
+    constant = None
+    c0 = L.constant
+    if isinstance(c0, FiniteFieldElement):
+        constant = c0
+    elif isinstance(c0, int):
+        constant = c0
+        for c in L.coeffs:
+            if isinstance(c, FiniteFieldElement):
+                # c*0 + acc promotes the accumulator into c's field
+                constant = type(c)(c0)
+                break
+            if not isinstance(c, int):
+                constant = None  # secure shares etc.: exact reference path
+                break
+    if constant is None:
+        constant = L([0] * n)
     return L - constant, y - constant
 
 

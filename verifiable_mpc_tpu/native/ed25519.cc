@@ -537,21 +537,38 @@ void vmpc_ed_batch_normalize(u64 *pts, u64 n) {
 // length and the value as a minimal signed big-endian int (coords are in
 // [0, p), hence non-negative: nbytes = floor(bitlen/8) + 1).
 // out must hold >= n * 149 bytes; *outlen receives the bytes written.
+static inline int fe_enc_nbytes(const u64 *v) {
+  int bitlen = 0;
+  for (int k = 3; k >= 0; k--) {
+    if (v[k]) {
+      bitlen = 64 * k + 64 - __builtin_clzll(v[k]);
+      break;
+    }
+  }
+  return bitlen / 8 + 1;
+}
+
 void vmpc_ed_hash_encode(const u64 *pts, u64 n, unsigned char *out,
                          u64 *outlen) {
-  unsigned char *w = out;
-  for (u64 i = 0; i < n; i++) {
+  // encode lengths are data-dependent (minimal signed big-endian), so run
+  // two passes: per-point byte counts, serial prefix sum, parallel writes
+  std::vector<u64> off(n + 1);
+  off[0] = 0;
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < (long long)n; i++) {
+    u64 len = 1;
+    for (int j = 0; j < 4; j++)
+      len += 4 + (u64)fe_enc_nbytes(pts + i * 16 + j * 4);
+    off[i + 1] = len;
+  }
+  for (u64 i = 0; i < n; i++) off[i + 1] += off[i];
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < (long long)n; i++) {
+    unsigned char *w = out + off[i];
     *w++ = 0x12;
     for (int j = 0; j < 4; j++) {
       const u64 *v = pts + i * 16 + j * 4;
-      int bitlen = 0;
-      for (int k = 3; k >= 0; k--) {
-        if (v[k]) {
-          bitlen = 64 * k + 64 - __builtin_clzll(v[k]);
-          break;
-        }
-      }
-      int nbytes = bitlen / 8 + 1;
+      int nbytes = fe_enc_nbytes(v);
       w[0] = 0;
       w[1] = 0;
       w[2] = (unsigned char)(nbytes >> 8);
@@ -562,7 +579,7 @@ void vmpc_ed_hash_encode(const u64 *pts, u64 n, unsigned char *out,
       }
     }
   }
-  *outlen = (u64)(w - out);
+  *outlen = off[n];
 }
 
 // pairwise ops for testing: out = a + b
