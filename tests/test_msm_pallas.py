@@ -84,6 +84,15 @@ def test_limbs_lm_p25519_oracle():
     # composition: (x*y + x) - y stays in-domain and congruent
     comp = lm.sub25519(lm.add25519(lm.mul25519(xr, yr), xr), yr)
     check(comp, lambda x, y: x * y + x - y)
+    # dedicated squaring == mul(a, a), on relaxed inputs incl. extremes
+    check(lm.sq25519(xr), lambda x, y: x * x)
+
+
+def test_limbs_lm_sq_wide_oracle():
+    """sq_wide(a) == full 512-bit a^2 (the mont_sq building block)."""
+    xs = [rng.randrange(1 << 256) for _ in range(8)] + [0, 1, (1 << 256) - 1]
+    got = _ints(lm.sq_wide(_rows(xs)))  # limbs_to_ints is width-generic
+    assert got == [x * x for x in xs]
 
 
 def test_signed_recoding_roundtrip():

@@ -189,12 +189,52 @@ def mont_redc(t, p_ints, nprime_ints):
     return jnp.where(need_sub[None], diff, res)
 
 
+def _sq_cols(a):
+    """Schoolbook columns of a^2, [2L+1,*B] with entries < 2^22.
+
+    Half the limb products of a full mul: cross terms a_j*a_k (j < k) are
+    accumulated once and doubled, the diagonal a_j^2 added after.  The same
+    hi/lo fusion as :func:`_mul_cols` keeps it at ONE padded accumulate per
+    j: lo_j starts at column 2j+1 and hi_{j-1} at column 2j, so prepending a
+    zero row to lo_j aligns both at 2j with equal row counts (L-j)."""
+    n = a.shape[0]
+    total = 2 * n + 1
+    cols = jnp.zeros((total,) + a.shape[1:], jnp.uint32)
+    pending = None  # hi halves of iteration j-1, at column offset 2j
+    for j in range(n - 1):
+        prod = a[j + 1 :] * a[j]  # [n-1-j, *B], exact: both operands < 2^16
+        lo = prod & MASK  # column offset 2j+1
+        hi = prod >> LIMB_BITS  # column offset 2j+2
+        lo = _shift(lo, 1, n - j)  # re-anchor at offset 2j
+        if pending is not None:
+            lo = lo + pending  # rows < 2^17, still exact in u32
+        cols = cols + _shift(lo, 2 * j, total)
+        pending = hi
+    if pending is not None:
+        cols = cols + _shift(pending, 2 * n - 2, total)
+    cols = cols + cols  # double the cross terms (entries < 2^21)
+    prod = a * a
+    lo = prod & MASK
+    hi = prod >> LIMB_BITS
+    diag = jnp.stack(
+        [lo[c // 2] if c % 2 == 0 else hi[c // 2] for c in range(2 * n)],
+        axis=0,
+    )
+    return cols + _shift(diag, 0, total)
+
+
+def sq_wide(a):
+    """[L,*B] -> [2L,*B] full square, canonical limbs (~47% fewer limb
+    products than mul_wide(a, a))."""
+    return carry(_sq_cols(a), 2 * a.shape[0])
+
+
 def mont_mul(a, b, p_ints, nprime_ints):
     return mont_redc(mul_wide(a, b), p_ints, nprime_ints)
 
 
 def mont_sq(a, p_ints, nprime_ints):
-    return mont_redc(mul_wide(a, a), p_ints, nprime_ints)
+    return mont_redc(sq_wide(a), p_ints, nprime_ints)
 
 
 def mont_mul_const(a, c_mont_ints, p_ints, nprime_ints):
@@ -254,6 +294,12 @@ def mul25519(a, b):
     L = a.shape[0]
     cols = _mul_cols(a, ((j, b[j]) for j in range(L)), 2 * L + 1)
     return reduce25519(cols)
+
+
+def sq25519(a):
+    """a^2 mod p25519 — the doubling-ladder hot op (~47% fewer limb
+    products than mul25519(a, a); column entries < 2^22 < 2^27)."""
+    return reduce25519(_sq_cols(a))
 
 
 def mul25519_const(a, c_ints):

@@ -118,9 +118,7 @@ def ed_dbl_lm(p, k):
     """Dedicated doubling (dbl-2008-hwcd, a=-1): 4 squares + 4 muls — the
     hot op of the Horner ladders (T1 is not needed)."""
     mul = lm.mul25519
-
-    def sq(a):
-        return lm.mul25519(a, a)
+    sq = lm.sq25519
 
     x1, y1, z1, _ = p
     a = sq(x1)
@@ -131,6 +129,38 @@ def ed_dbl_lm(p, k):
     g = lm.sub25519(b, a)  # D + B with D = -A
     f = lm.sub25519(g, c)
     h = lm.neg25519(lm.add25519(a, b))  # D - B
+    return (mul(e, f), mul(g, h), mul(f, g), mul(e, h))
+
+
+def ed_to_pre(p, k):
+    """Extended (X, Y, Z, T) -> precomputed form (Y+X, Y-X, 2dT, 2Z).
+
+    Table entries stored this way make every table add one mixed addition
+    of 8 muls instead of the 9 + one const-mul of the unified formula (the
+    conversion itself is 1 const-mul + 3 cheap adds, paid once per table
+    entry instead of once per accumulate)."""
+    x, y, z, t = p
+    return (
+        lm.add25519(y, x),
+        lm.sub25519(y, x),
+        lm.mul25519_const(t, k["two_d"]),
+        lm.add25519(z, z),
+    )
+
+
+def ed_add_pre_lm(p, q_pre, k):
+    """Mixed addition extended + precomputed -> extended (8 muls)."""
+    mul = lm.mul25519
+    x1, y1, z1, t1 = p
+    ypx, ymx, t2d, z2 = q_pre
+    a = mul(lm.sub25519(y1, x1), ymx)
+    b = mul(lm.add25519(y1, x1), ypx)
+    cc = mul(t1, t2d)
+    d = mul(z1, z2)
+    e = lm.sub25519(b, a)
+    f = lm.sub25519(d, cc)
+    g = lm.add25519(d, cc)
+    h = lm.add25519(b, a)
     return (mul(e, f), mul(g, h), mul(f, g), mul(e, h))
 
 
@@ -145,6 +175,30 @@ class _EdAdapter:
     consts = staticmethod(_consts)
     add = staticmethod(ed_add_lm)
     dbl = staticmethod(ed_dbl_lm)
+
+    # optional precomputed-table API (kernels fall back to plain add when a
+    # curve adapter does not provide it, e.g. BN254 projective)
+    to_pre = staticmethod(ed_to_pre)
+    add_pre = staticmethod(ed_add_pre_lm)
+
+    @staticmethod
+    def pre_identity(batch_shape, k):
+        """Identity (0:1:1:0) in precomputed form: (1, 1, 0, 2)."""
+        one = lm.const_rows((1,) + (0,) * (L - 1), batch_shape)
+        two = lm.const_rows((2,) + (0,) * (L - 1), batch_shape)
+        zero = lm.const_rows((0,) * L, batch_shape)
+        return (one, one, zero, two)
+
+    @staticmethod
+    def neg_where_pre(mask, q_pre, k):
+        """-(ypx, ymx, t2d, z2) = (ymx, ypx, -t2d, z2) where mask."""
+        ypx, ymx, t2d, z2 = q_pre
+        return (
+            jnp.where(mask, ymx, ypx),
+            jnp.where(mask, ypx, ymx),
+            jnp.where(mask, lm.neg25519(t2d), t2d),
+            z2,
+        )
 
     @staticmethod
     def identity(batch_shape, k):
@@ -189,6 +243,7 @@ def _identity_lm(batch_shape, k):
 
 def _make_chunk_kernel(curve):
     nc = curve.NC
+    has_pre = hasattr(curve, "add_pre")
 
     def kernel(*refs):
         """Process SUB sub-chunks of C points into the window accumulators.
@@ -208,19 +263,38 @@ def _make_chunk_kernel(curve):
         sub, chunk = point[0].shape[1], point[0].shape[2]
 
         # --- multiple tables: tbl[m] = m * P, m = 0..8, for SUB*C points --
-        for ref, arr in zip(tbl, curve.identity((sub, chunk), k)):
-            ref[0] = arr
-        for ref, arr in zip(tbl, point):
-            ref[1] = arr
+        if has_pre:
+            # entries stored in precomputed form: every accumulate below is
+            # then one mixed add (8 muls) instead of the unified formula's
+            # 9 + const-mul; the running multiple stays in extended coords
+            # as the fori_loop carry
+            for ref, arr in zip(tbl, curve.pre_identity((sub, chunk), k)):
+                ref[0] = arr
+            pre_p = curve.to_pre(point, k)
+            for ref, arr in zip(tbl, pre_p):
+                ref[1] = arr
 
-        def tbody(m, _):
-            prev = tuple(ref[m - 1] for ref in tbl)
-            nxt = curve.add(prev, point, k)
-            for ref, arr in zip(tbl, nxt):
-                ref[m] = arr
-            return 0
+            def tbody(m, cur):
+                nxt = curve.add_pre(cur, pre_p, k)
+                for ref, arr in zip(tbl, curve.to_pre(nxt, k)):
+                    ref[m] = arr
+                return nxt
 
-        jax.lax.fori_loop(2, TABLE_S, tbody, 0)
+            jax.lax.fori_loop(2, TABLE_S, tbody, point)
+        else:
+            for ref, arr in zip(tbl, curve.identity((sub, chunk), k)):
+                ref[0] = arr
+            for ref, arr in zip(tbl, point):
+                ref[1] = arr
+
+            def tbody(m, _):
+                prev = tuple(ref[m - 1] for ref in tbl)
+                nxt = curve.add(prev, point, k)
+                for ref, arr in zip(tbl, nxt):
+                    ref[m] = arr
+                return 0
+
+            jax.lax.fori_loop(2, TABLE_S, tbody, 0)
 
         # --- window accumulation over the SUB sub-chunks ------------------
         W = dig_ref.shape[0]
@@ -240,10 +314,16 @@ def _make_chunk_kernel(curve):
                     out.append(jnp.where(mask, e, sv))
                 return tuple(out)
 
+            if has_pre:
+                sel = jax.lax.fori_loop(
+                    1, TABLE_S, sbody, curve.pre_identity((W, chunk), k)
+                )
+                # signed digit: negate the selected point where digit < 0
+                sel = curve.neg_where_pre((digs < 0)[None], sel, k)
+                return curve.add_pre(acc, sel, k)
             sel = jax.lax.fori_loop(
                 1, TABLE_S, sbody, curve.identity((W, chunk), k)
             )
-            # signed digit: negate the selected point where digit < 0
             sel = curve.neg_where((digs < 0)[None], sel, k)
             return curve.add(acc, sel, k)
 
@@ -458,6 +538,7 @@ def msm(points, scalars, chunk: int = 128, sub: int | None = None,
 
 def _make_fold_kernel(curve):
     nc = curve.NC
+    has_pre = hasattr(curve, "add_pre")
 
     def kernel(*refs):
         """g_l^c * g_r with a scalar c shared across all lanes
@@ -476,19 +557,36 @@ def _make_fold_kernel(curve):
         gl = tuple(r[:] for r in l_refs)  # [L, SUB, C]
         sub, chunk = gl[0].shape[1], gl[0].shape[2]
 
-        for ref, arr in zip(tbl, curve.identity((sub, chunk), k)):
-            ref[0] = arr
-        for ref, arr in zip(tbl, gl):
-            ref[1] = arr
+        if has_pre:
+            # precomputed-form table: each Horner table add is one mixed
+            # add (8 muls) instead of 9 + const-mul — see _make_chunk_kernel
+            for ref, arr in zip(tbl, curve.pre_identity((sub, chunk), k)):
+                ref[0] = arr
+            pre_gl = curve.to_pre(gl, k)
+            for ref, arr in zip(tbl, pre_gl):
+                ref[1] = arr
 
-        def tbody(m, _):
-            prev = tuple(ref[m - 1] for ref in tbl)
-            nxt = curve.add(prev, gl, k)
-            for ref, arr in zip(tbl, nxt):
-                ref[m] = arr
-            return 0
+            def tbody(m, cur):
+                nxt = curve.add_pre(cur, pre_gl, k)
+                for ref, arr in zip(tbl, curve.to_pre(nxt, k)):
+                    ref[m] = arr
+                return nxt
 
-        jax.lax.fori_loop(2, TABLE, tbody, 0)
+            jax.lax.fori_loop(2, TABLE, tbody, gl)
+        else:
+            for ref, arr in zip(tbl, curve.identity((sub, chunk), k)):
+                ref[0] = arr
+            for ref, arr in zip(tbl, gl):
+                ref[1] = arr
+
+            def tbody(m, _):
+                prev = tuple(ref[m - 1] for ref in tbl)
+                nxt = curve.add(prev, gl, k)
+                for ref, arr in zip(tbl, nxt):
+                    ref[m] = arr
+                return 0
+
+            jax.lax.fori_loop(2, TABLE, tbody, 0)
 
         nw = dig_ref.shape[0]
 
@@ -498,6 +596,8 @@ def _make_fold_kernel(curve):
             )
             d = dig_ref[w, 0]
             entry = tuple(ref[d] for ref in tbl)
+            if has_pre:
+                return curve.add_pre(acc, entry, k)
             return curve.add(acc, entry, k)
 
         acc = jax.lax.fori_loop(0, nw, wbody, curve.identity((sub, chunk), k))
@@ -642,6 +742,7 @@ def fold(g_l, g_r, c: int, chunk: int = 128, sub: int = 8,
 
 def _make_bexp_kernel(curve):
     nc = curve.NC
+    has_pre = hasattr(curve, "add_pre")
 
     def kernel(*refs):
         """base ** e_i with PER-LANE exponents and a SHARED base: the 0..8
@@ -657,6 +758,19 @@ def _make_bexp_kernel(curve):
         sub, chunk = dig_ref.shape[1], dig_ref.shape[2]
         shape = (L, sub, chunk)
 
+        if has_pre:
+            # convert the host table to precomputed form ONCE into scratch
+            # (selects must read refs: value-level dynamic indexing has no
+            # Mosaic lowering) — each window add is then a mixed 8-mul add
+            pre_tbl = refs[1 + 2 * nc : 1 + 3 * nc]
+            for m in range(TABLE_S):
+                entry = tuple(ref[m] for ref in tbl)
+                for ref, arr in zip(pre_tbl, curve.to_pre(entry, k)):
+                    ref[m] = arr
+            sel_tbl = pre_tbl
+        else:
+            sel_tbl = tbl
+
         def wbody(w, acc):
             acc = jax.lax.fori_loop(
                 0, WINDOW, lambda _, a: curve.dbl(a, k), acc
@@ -667,11 +781,17 @@ def _make_bexp_kernel(curve):
             def sbody(m, sel):
                 mask = (mags == m)[None]  # [1, SUB, C]
                 out = []
-                for ref, sv in zip(tbl, sel):
+                for ref, sv in zip(sel_tbl, sel):
                     e = jnp.broadcast_to(ref[m][:, None, :], shape)
                     out.append(jnp.where(mask, e, sv))
                 return tuple(out)
 
+            if has_pre:
+                sel = jax.lax.fori_loop(
+                    1, TABLE_S, sbody, curve.pre_identity((sub, chunk), k)
+                )
+                sel = curve.neg_where_pre((digs < 0)[None], sel, k)
+                return curve.add_pre(acc, sel, k)
             sel = jax.lax.fori_loop(
                 1, TABLE_S, sbody, curve.identity((sub, chunk), k)
             )
@@ -689,9 +809,15 @@ def _make_bexp_kernel(curve):
 def _bexp_pallas(curve, chunk: int, sub: int, nw: int, interpret: bool):
     nc = curve.NC
     pt_shape = jax.ShapeDtypeStruct((L, sub, chunk), jnp.uint32)
+    scratch = (
+        [pltpu.VMEM((TABLE_S, L, chunk), jnp.uint32)] * nc
+        if hasattr(curve, "add_pre")
+        else []
+    )
     return pl.pallas_call(
         _make_bexp_kernel(curve),
         out_shape=[pt_shape] * nc,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
