@@ -114,6 +114,15 @@ def test_signed_recoding_roundtrip():
         assert int(np.abs(digs.astype(np.int64)).max()) <= 8
 
 
+def test_digit_nibble_pack_roundtrip():
+    """Packed-upload path: two offset-7 nibbles per byte, exact inverse."""
+    d = np.random.RandomState(0).randint(-7, 9, size=(64, 37)).astype(np.int8)
+    packed = mp._pack_digits(d)
+    assert packed.shape == (32, 37) and packed.dtype == np.uint8
+    un = np.asarray(mp._unpack_digits(jnp.asarray(packed), 64))
+    assert (un == d).all()
+
+
 def test_pallas_msm_matches_naive():
     n = 8
     g = EdwardsPoint.generator

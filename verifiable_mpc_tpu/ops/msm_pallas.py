@@ -396,14 +396,38 @@ def _chunk_pallas(curve, chunk: int, sub: int, nwindows: int,
     )
 
 
+def _pack_digits(digits_np: np.ndarray) -> np.ndarray:
+    """[W, ...] int8 digits in [-7, 8] -> [W/2, ...] uint8, two windows per
+    byte (offset-7 nibbles).  Halves the per-MSM host->device digit bytes —
+    a large share of MSM wall time on the tunnel backend.  W must be even
+    (the TPU path always uses 8 or 64 windows)."""
+    assert digits_np.shape[0] % 2 == 0
+    off = digits_np.astype(np.int16) + 7  # 0..15
+    return (off[0::2] | (off[1::2] << 4)).astype(np.uint8)
+
+
+def _unpack_digits(packed, nwindows: int):
+    """Device-side inverse of :func:`_pack_digits` -> int32 [W, ...]."""
+    p32 = packed.astype(jnp.int32)
+    lo = (p32 & 15) - 7
+    hi = (p32 >> 4) - 7
+    return jnp.stack([lo, hi], axis=1).reshape((nwindows,) + packed.shape[1:])
+
+
 @functools.lru_cache(maxsize=None)
-def _chunk_call(curve, chunk: int, sub: int, nwindows: int, interpret: bool):
+def _chunk_call(curve, chunk: int, sub: int, nwindows: int, interpret: bool,
+                packed: bool = False):
     call = _chunk_pallas(curve, chunk, sub, nwindows, interpret)
 
     def step(digits, pts, acc):
-        # digits arrive as int8 (cheap host->device transfer); the kernel
-        # works on i32 tiles, so widen on device
-        return tuple(call(digits.astype(jnp.int32), *pts, *acc))
+        # digits arrive as nibble-packed uint8 (or int8 on the unpacked
+        # path); the kernel works on i32 tiles, so unpack/widen on device
+        d = (
+            _unpack_digits(digits, nwindows)
+            if packed
+            else digits.astype(jnp.int32)
+        )
+        return tuple(call(d, *pts, *acc))
 
     return jax.jit(step, donate_argnums=(2,))
 
@@ -447,7 +471,7 @@ def _acc_init(curve, chunk: int, nwindows: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _prep_call(curve, n: int, chunk: int, sub: int, nwindows: int):
+def _prep_call(curve, n: int, chunk: int, sub: int, dig_rows: int):
     nc = curve.NC
     steps = n // (chunk * sub)
 
@@ -460,7 +484,7 @@ def _prep_call(curve, n: int, chunk: int, sub: int, nwindows: int):
         pts = [
             tuple(a[:, i] for a in lmaj) for i in range(steps)
         ]
-        digits = digits.reshape(nwindows, steps, sub, chunk)
+        digits = digits.reshape(dig_rows, steps, sub, chunk)
         digs = [digits[:, i] for i in range(steps)]
         return pts, digs
 
@@ -469,12 +493,13 @@ def _prep_call(curve, n: int, chunk: int, sub: int, nwindows: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_for(curve, n: int, chunk: int, sub: int, nwindows: int,
-               interpret: bool):
+               interpret: bool, packed: bool = False):
     assert n % (chunk * sub) == 0
     steps = n // (chunk * sub)
-    step_fn = _chunk_call(curve, chunk, sub, nwindows, interpret)
+    dig_rows = nwindows // 2 if packed else nwindows
+    step_fn = _chunk_call(curve, chunk, sub, nwindows, interpret, packed)
     tail_fn = _tail_call(curve, chunk, nwindows, interpret)
-    prep_fn = _prep_call(curve, n, chunk, sub, nwindows)
+    prep_fn = _prep_call(curve, n, chunk, sub, dig_rows)
     init_fn = _acc_init(curve, chunk, nwindows)
 
     def run(points_bm, digits):
@@ -520,8 +545,12 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
         nw = max(1, int(windows_needed))
     else:  # two window counts only (8 | 64): each is its own Mosaic compile
         nw = 8 if windows_needed <= 8 else NWINDOWS
-    digits = jnp.asarray(digits_np[NWINDOWS - nw:])
-    out = _build_for(curve, target, chunk, sub, nw, interpret)(dev_pts, digits)
+    trimmed = digits_np[NWINDOWS - nw:]
+    packed = not interpret and nw % 2 == 0  # halves the digit upload
+    digits = jnp.asarray(_pack_digits(trimmed) if packed else trimmed)
+    out = _build_for(curve, target, chunk, sub, nw, interpret, packed)(
+        dev_pts, digits
+    )
     return curve.decode_one(tuple(np.asarray(out)))  # one [nc, L] transfer
 
 
@@ -826,11 +855,13 @@ def _bexp_pallas(curve, chunk: int, sub: int, nw: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _bexp_chunk_call(curve, chunk: int, sub: int, nw: int, interpret: bool):
+def _bexp_chunk_call(curve, chunk: int, sub: int, nw: int, interpret: bool,
+                     packed: bool = False):
     call = _bexp_pallas(curve, chunk, sub, nw, interpret)
 
     def step(digits, tbl):
-        return tuple(call(digits.astype(jnp.int32), *tbl))
+        d = _unpack_digits(digits, nw) if packed else digits.astype(jnp.int32)
+        return tuple(call(d, *tbl))
 
     return jax.jit(step)
 
@@ -874,11 +905,13 @@ def _batch_exp_generic(curve, base, exponents, chunk, sub, interpret):
         nw = max(1, int(windows_needed))
     else:
         nw = 8 if windows_needed <= 8 else NWINDOWS
-    digits = jnp.asarray(
-        digits_np[NWINDOWS - nw:].reshape(nw, steps, sub, chunk)
-    )
+    trimmed = digits_np[NWINDOWS - nw:]
+    packed = not interpret and nw % 2 == 0  # halves the digit upload
+    if packed:
+        trimmed = _pack_digits(trimmed)
+    digits = jnp.asarray(trimmed.reshape(-1, steps, sub, chunk))
 
-    step_fn = _bexp_chunk_call(curve, chunk, sub, nw, interpret)
+    step_fn = _bexp_chunk_call(curve, chunk, sub, nw, interpret, packed)
     outs = [step_fn(digits[:, i], tbl) for i in range(steps)]
     stacked = np.asarray(
         _bexp_finish_call(curve, steps, chunk, sub)(outs)

@@ -113,18 +113,26 @@ def generate_evalkey(td, qap, gen):
         evalkey[f"r_w*alpha_w*w{i}*g1"] = aw_g1_pts[j]
         evalkey[f"r_y*alpha_y*y{i}*g1"] = ay_g1_pts[j]
 
-    # beta-combined terms
-    for j, i in enumerate(mid):
-        evalkey[f"r_v*beta*v+r_w*beta*w+r_y*beta*y{i}_g1"] = (
-            g_eval(gen.g1_v, qap.v[i], td.s, td.beta)
-            + g_eval(gen.g1_w, qap.w[i], td.s, td.beta)
-            + g_eval(gen.g1_y, qap.y[i], td.s, td.beta)
-        )
-
-    # powers of s
+    # beta-combined terms: the sum of the three per-family points equals a
+    # single g1 exponentiation by the combined scalar, so this is one more
+    # batched fixed-base call (was the only unbatched per-index loop here)
     from ..ops.dispatch import batch_exp
 
     modulus = qap.field.modulus
+    beta_scalars = [
+        (
+            td.r_v * td.beta * int(qap.v[i].eval(td.s))
+            + td.r_w * td.beta * int(qap.w[i].eval(td.s))
+            + td.r_y * td.beta * int(qap.y[i].eval(td.s))
+        )
+        % modulus
+        for i in mid
+    ]
+    beta_pts = batch_exp(gen.g1, beta_scalars)
+    for j, i in enumerate(mid):
+        evalkey[f"r_v*beta*v+r_w*beta*w+r_y*beta*y{i}_g1"] = beta_pts[j]
+
+    # powers of s
     s_powers = []
     acc = 1
     for i in range(qap.d + 1):
