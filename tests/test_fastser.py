@@ -144,3 +144,48 @@ def test_circuit_encoding_memoized():
     serialization._encode(buf3, circuit)
     assert buf3.getvalue() != buf1.getvalue()
     assert circuit._enc_cache[0] == len(circuit.gates)
+
+
+def test_bn_point_converters_roundtrip():
+    """C converters for BN G1/twist points: object-identical to the Python
+    loops (reduced coords, skipped __init__s)."""
+    import random
+
+    import numpy as np
+
+    from verifiable_mpc_tpu import native
+    from verifiable_mpc_tpu.groups.bn256 import (
+        ORDER,
+        BNPoint,
+        BNTwistPoint,
+    )
+
+    rng = random.Random(77)
+    g = BNPoint.generator
+    pts = [g * rng.randrange(1, ORDER) for _ in range(9)] + [BNPoint.identity]
+    arr = native._bn_pts_to_u64(pts)
+    assert arr.shape == (10, 12) and arr.dtype == np.uint64
+    back = native._u64_to_bn_pts(arr)
+    for p, q in zip(pts, back):
+        assert type(q) is BNPoint and q == p
+        assert (q.x.value, q.y.value, q.z.value) == (
+            p.x.value,
+            p.y.value,
+            p.z.value,
+        )
+
+    g2 = BNTwistPoint.generator
+    pts2 = [g2 * rng.randrange(1, ORDER) for _ in range(5)] + [
+        BNTwistPoint.identity
+    ]
+    arr2 = native._bn2_pts_to_u64(pts2)
+    assert arr2.shape == (6, 24)
+    back2 = native._u64_to_bn2_pts(arr2)
+    for p, q in zip(pts2, back2):
+        assert type(q) is BNTwistPoint and q == p
+        assert (q.x.c0, q.x.c1, q.y.c0, q.z.c1) == (
+            p.x.c0,
+            p.x.c1,
+            p.y.c0,
+            p.z.c1,
+        )

@@ -276,6 +276,13 @@ def _u64x4_to_int(row, off) -> int:
 
 
 def _bn_pts_to_u64(points) -> np.ndarray:
+    fs = fastser()
+    if fs is not None and isinstance(points, list) and points:
+        raw = fs.bn_pts_to_u64(points, type(points[0]))
+        if raw is not None:
+            return np.frombuffer(raw, dtype=np.uint64).reshape(
+                len(points), 12
+            )
     out = np.empty((len(points), 12), dtype=np.uint64)
     for i, p in enumerate(points):
         for j, c in enumerate((p.x, p.y, p.z)):
@@ -284,8 +291,13 @@ def _bn_pts_to_u64(points) -> np.ndarray:
 
 
 def _u64_to_bn_pts(arr) -> list:
-    from ..groups.bn256 import BNPoint
+    from ..groups.bn256 import BNPoint, GFp
 
+    fs = fastser()
+    if fs is not None:
+        return fs.u64_to_bn_pts(
+            np.ascontiguousarray(arr, dtype=np.uint64), BNPoint, GFp
+        )
     out = []
     for row in arr:
         coords = [_u64x4_to_int(row, 4 * j) for j in range(3)]
@@ -294,6 +306,13 @@ def _u64_to_bn_pts(arr) -> list:
 
 
 def _bn2_pts_to_u64(points) -> np.ndarray:
+    fs = fastser()
+    if fs is not None and isinstance(points, list) and points:
+        raw = fs.bn2_pts_to_u64(points, type(points[0]))
+        if raw is not None:
+            return np.frombuffer(raw, dtype=np.uint64).reshape(
+                len(points), 24
+            )
     out = np.empty((len(points), 24), dtype=np.uint64)
     for i, p in enumerate(points):
         for j, c in enumerate((p.x, p.y, p.z)):
@@ -305,6 +324,11 @@ def _bn2_pts_to_u64(points) -> np.ndarray:
 def _u64_to_bn2_pts(arr) -> list:
     from ..groups.bn256 import BNTwistPoint, GFp2
 
+    fs = fastser()
+    if fs is not None:
+        return fs.u64_to_bn2_pts(
+            np.ascontiguousarray(arr, dtype=np.uint64), BNTwistPoint, GFp2
+        )
     out = []
     for row in arr:
         coords = [

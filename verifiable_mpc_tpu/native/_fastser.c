@@ -78,6 +78,8 @@ static int write_int_record(Buf *b, PyObject *v) {
 /* ------------------------------------------------------------ interned */
 
 static PyObject *str_value; /* "value" */
+static PyObject *str_c0;    /* "c0" (GF(p^2) slot) */
+static PyObject *str_c1;    /* "c1" */
 
 /* v.value for slot classes; returns new ref */
 static inline PyObject *get_value(PyObject *v) {
@@ -466,6 +468,218 @@ static PyObject *u64_to_ed_pts(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* bn_pts_to_u64(seq, ptype) -> bytes (n*96: x,y,z field-element .value,
+ * 32 LE bytes each).  None if an element is not an exact ptype instance. */
+static PyObject *bn_pts_to_u64(PyObject *self, PyObject *args) {
+    PyObject *seq, *ptype;
+    if (!PyArg_ParseTuple(args, "OO", &seq, &ptype)) return NULL;
+    if (!PyList_CheckExact(seq)) {
+        PyErr_SetString(PyExc_TypeError, "expected list");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(seq);
+    PyObject *names[3];
+    names[0] = PyUnicode_InternFromString("x");
+    names[1] = PyUnicode_InternFromString("y");
+    names[2] = PyUnicode_InternFromString("z");
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n * 96);
+    if (!out) goto fail0;
+    unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *p = PyList_GET_ITEM(seq, i);
+        if ((PyObject *)Py_TYPE(p) != ptype) {
+            Py_DECREF(out);
+            for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+            Py_RETURN_NONE;
+        }
+        for (int j = 0; j < 3; j++) {
+            PyObject *c = PyObject_GetAttr(p, names[j]);
+            if (!c) goto fail;
+            PyObject *v = PyObject_GetAttr(c, str_value);
+            Py_DECREF(c);
+            if (!v) goto fail;
+            int rc = _PyLong_AsByteArray((PyLongObject *)v,
+                                         dst + i * 96 + j * 32, 32, 1, 0);
+            Py_DECREF(v);
+            if (rc < 0) goto fail;
+        }
+    }
+    for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+    return out;
+fail:
+    Py_DECREF(out);
+fail0:
+    for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+    return NULL;
+}
+
+/* u64_to_bn_pts(buffer, ptype, ftype) -> list of jacobian points.
+ * Rows of 96 bytes (x,y,z, 32 LE bytes each), values ALREADY reduced
+ * (the native bn256 kernels' REDC output contract): field elements and
+ * points are built via tp_new + slot stores, skipping both __init__s —
+ * the per-point hot cost of materializing MSM/batch-exp results. */
+static PyObject *u64_to_bn_pts(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    PyObject *ptype, *ftype;
+    if (!PyArg_ParseTuple(args, "y*OO", &view, &ptype, &ftype)) return NULL;
+    if (!PyType_Check(ptype) || !PyType_Check(ftype)) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_TypeError, "expected point and field classes");
+        return NULL;
+    }
+    PyTypeObject *ptp = (PyTypeObject *)ptype;
+    PyTypeObject *ftp = (PyTypeObject *)ftype;
+    PyObject *names[3];
+    names[0] = PyUnicode_InternFromString("x");
+    names[1] = PyUnicode_InternFromString("y");
+    names[2] = PyUnicode_InternFromString("z");
+    PyObject *empty = PyTuple_New(0);
+    PyObject *out = NULL;
+    if (!empty) goto fail0;
+    Py_ssize_t n = view.len / 96;
+    out = PyList_New(n);
+    if (!out) goto fail0;
+    const unsigned char *src = view.buf;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *pt = ptp->tp_new(ptp, empty, NULL);
+        if (!pt) goto fail;
+        for (int j = 0; j < 3; j++) {
+            PyObject *v = _PyLong_FromByteArray(src + i * 96 + j * 32,
+                                                32, 1, 0);
+            PyObject *fe = v ? ftp->tp_new(ftp, empty, NULL) : NULL;
+            int rc = fe ? PyObject_SetAttr(fe, str_value, v) : -1;
+            Py_XDECREF(v);
+            if (rc == 0) rc = PyObject_SetAttr(pt, names[j], fe);
+            Py_XDECREF(fe);
+            if (rc < 0) { Py_DECREF(pt); goto fail; }
+        }
+        PyList_SET_ITEM(out, i, pt);
+    }
+    Py_DECREF(empty);
+    PyBuffer_Release(&view);
+    for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+    return out;
+fail:
+    Py_DECREF(out);
+    out = NULL;
+fail0:
+    Py_XDECREF(empty);
+    PyBuffer_Release(&view);
+    for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+    return out;
+}
+
+/* bn2_pts_to_u64(seq, ptype) -> bytes (n*192: x,y,z GF(p^2) coords as
+ * c0||c1, 32 LE bytes each).  None on a non-ptype element. */
+static PyObject *bn2_pts_to_u64(PyObject *self, PyObject *args) {
+    PyObject *seq, *ptype;
+    if (!PyArg_ParseTuple(args, "OO", &seq, &ptype)) return NULL;
+    if (!PyList_CheckExact(seq)) {
+        PyErr_SetString(PyExc_TypeError, "expected list");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(seq);
+    PyObject *names[3];
+    names[0] = PyUnicode_InternFromString("x");
+    names[1] = PyUnicode_InternFromString("y");
+    names[2] = PyUnicode_InternFromString("z");
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n * 192);
+    if (!out) goto fail0;
+    unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *p = PyList_GET_ITEM(seq, i);
+        if ((PyObject *)Py_TYPE(p) != ptype) {
+            Py_DECREF(out);
+            for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+            Py_RETURN_NONE;
+        }
+        for (int j = 0; j < 3; j++) {
+            PyObject *c = PyObject_GetAttr(p, names[j]);
+            if (!c) goto fail;
+            PyObject *c0 = PyObject_GetAttr(c, str_c0);
+            PyObject *c1 = c0 ? PyObject_GetAttr(c, str_c1) : NULL;
+            Py_DECREF(c);
+            int rc = c1 ? _PyLong_AsByteArray(
+                              (PyLongObject *)c0,
+                              dst + i * 192 + j * 64, 32, 1, 0)
+                        : -1;
+            if (rc == 0)
+                rc = _PyLong_AsByteArray((PyLongObject *)c1,
+                                         dst + i * 192 + j * 64 + 32,
+                                         32, 1, 0);
+            Py_XDECREF(c0);
+            Py_XDECREF(c1);
+            if (rc < 0) goto fail;
+        }
+    }
+    for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+    return out;
+fail:
+    Py_DECREF(out);
+fail0:
+    for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+    return NULL;
+}
+
+/* u64_to_bn2_pts(buffer, ptype, f2type) -> list of twist points.
+ * Rows of 192 bytes (x,y,z as c0||c1), values ALREADY reduced; GF(p^2)
+ * elements and points built via tp_new + slot stores. */
+static PyObject *u64_to_bn2_pts(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    PyObject *ptype, *f2type;
+    if (!PyArg_ParseTuple(args, "y*OO", &view, &ptype, &f2type)) return NULL;
+    if (!PyType_Check(ptype) || !PyType_Check(f2type)) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_TypeError, "expected point and field classes");
+        return NULL;
+    }
+    PyTypeObject *ptp = (PyTypeObject *)ptype;
+    PyTypeObject *ftp = (PyTypeObject *)f2type;
+    PyObject *names[3];
+    names[0] = PyUnicode_InternFromString("x");
+    names[1] = PyUnicode_InternFromString("y");
+    names[2] = PyUnicode_InternFromString("z");
+    PyObject *empty = PyTuple_New(0);
+    PyObject *out = NULL;
+    if (!empty) goto fail0;
+    Py_ssize_t n = view.len / 192;
+    out = PyList_New(n);
+    if (!out) goto fail0;
+    const unsigned char *src = view.buf;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *pt = ptp->tp_new(ptp, empty, NULL);
+        if (!pt) goto fail;
+        for (int j = 0; j < 3; j++) {
+            PyObject *c0 = _PyLong_FromByteArray(src + i * 192 + j * 64,
+                                                 32, 1, 0);
+            PyObject *c1 = c0 ? _PyLong_FromByteArray(
+                                    src + i * 192 + j * 64 + 32, 32, 1, 0)
+                              : NULL;
+            PyObject *fe = c1 ? ftp->tp_new(ftp, empty, NULL) : NULL;
+            int rc = fe ? PyObject_SetAttr(fe, str_c0, c0) : -1;
+            if (rc == 0) rc = PyObject_SetAttr(fe, str_c1, c1);
+            Py_XDECREF(c0);
+            Py_XDECREF(c1);
+            if (rc == 0) rc = PyObject_SetAttr(pt, names[j], fe);
+            Py_XDECREF(fe);
+            if (rc < 0) { Py_DECREF(pt); goto fail; }
+        }
+        PyList_SET_ITEM(out, i, pt);
+    }
+    Py_DECREF(empty);
+    PyBuffer_Release(&view);
+    for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+    return out;
+fail:
+    Py_DECREF(out);
+    out = NULL;
+fail0:
+    Py_XDECREF(empty);
+    PyBuffer_Release(&view);
+    for (int j = 0; j < 3; j++) Py_XDECREF(names[j]);
+    return out;
+}
+
 /* ---------------------------------------------------------------- module */
 
 static PyMethodDef methods[] = {
@@ -485,6 +699,14 @@ static PyMethodDef methods[] = {
      "reduced 32-byte rows -> list of field elements (skips __init__)."},
     {"u64_to_ed_pts", u64_to_ed_pts, METH_VARARGS,
      "128-byte rows -> list of Edwards points."},
+    {"bn_pts_to_u64", bn_pts_to_u64, METH_VARARGS,
+     "BN G1 jacobian points -> 96-byte rows (x,y,z values)."},
+    {"u64_to_bn_pts", u64_to_bn_pts, METH_VARARGS,
+     "96-byte reduced rows -> list of BN G1 points (skips __init__)."},
+    {"bn2_pts_to_u64", bn2_pts_to_u64, METH_VARARGS,
+     "BN twist points -> 192-byte rows (x,y,z as c0||c1)."},
+    {"u64_to_bn2_pts", u64_to_bn2_pts, METH_VARARGS,
+     "192-byte reduced rows -> list of BN twist points (skips __init__)."},
     {NULL, NULL, 0, NULL},
 };
 
@@ -494,6 +716,8 @@ static struct PyModuleDef moduledef = {
 
 PyMODINIT_FUNC PyInit__fastser(void) {
     str_value = PyUnicode_InternFromString("value");
-    if (!str_value) return NULL;
+    str_c0 = PyUnicode_InternFromString("c0");
+    str_c1 = PyUnicode_InternFromString("c1");
+    if (!str_value || !str_c0 || !str_c1) return NULL;
     return PyModule_Create(&moduledef);
 }
