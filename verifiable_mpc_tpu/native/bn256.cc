@@ -121,6 +121,26 @@ static inline void fp_to_mont(Fp &o, const Fp &a) {
   fp_mul(o, a, r2);
 }
 
+// Fermat inversion a^(p-2) inside the Montgomery domain: the ladder's
+// invariant is result = x*R, so mont-muls keep it in-domain and the output
+// is mont(a^-1).  ~380 field muls, used only via batch_inverse (one per
+// normalization pass).
+static inline void fp_inv(Fp &o, const Fp &a) {
+  u64 e[4] = {P[0] - 2, P[1], P[2], P[3]};
+  Fp result;
+  memcpy(result.v, ONE_M, 32);
+  for (int bit = 255; bit >= 0; bit--) {
+    Fp t;
+    fp_mul(t, result, result);
+    result = t;
+    if ((e[bit >> 6] >> (bit & 63)) & 1) {
+      fp_mul(t, result, a);
+      result = t;
+    }
+  }
+  o = result;
+}
+
 static inline void fp_from_mont(Fp &o, const Fp &a) {
   Fp one;
   memset(one.v, 0, 32);
@@ -166,6 +186,19 @@ static inline void fp2_mul(Fp2 &o, const Fp2 &a, const Fp2 &b) {
   o.c1 = r1;
 }
 
+static inline void fp2_inv(Fp2 &o, const Fp2 &a) {
+  // (c0 + c1 i)^-1 = (c0 - c1 i) / (c0^2 + c1^2)  with i^2 = -1
+  Fp t0, t1, norm, ninv, zero, neg;
+  fp_mul(t0, a.c0, a.c0);
+  fp_mul(t1, a.c1, a.c1);
+  fp_add(norm, t0, t1);
+  fp_inv(ninv, norm);
+  fp_mul(o.c0, a.c0, ninv);
+  memset(zero.v, 0, 32);
+  fp_sub(neg, zero, a.c1);
+  fp_mul(o.c1, neg, ninv);
+}
+
 static inline void fp2_to_mont(Fp2 &o, const Fp2 &a) {
   fp_to_mont(o.c0, a.c0);
   fp_to_mont(o.c1, a.c1);
@@ -186,10 +219,16 @@ struct Ops<Fp> {
   static void add(Fp &o, const Fp &a, const Fp &b) { fp_add(o, a, b); }
   static void sub(Fp &o, const Fp &a, const Fp &b) { fp_sub(o, a, b); }
   static void mul(Fp &o, const Fp &a, const Fp &b) { fp_mul(o, a, b); }
+  static void inv(Fp &o, const Fp &a) { fp_inv(o, a); }
   static bool is_zero(const Fp &a) { return fp_is_zero(a); }
   static bool eq(const Fp &a, const Fp &b) { return fp_eq(a, b); }
   static void to_mont(Fp &o, const Fp &a) { fp_to_mont(o, a); }
   static void from_mont(Fp &o, const Fp &a) { fp_from_mont(o, a); }
+  static Fp one() {
+    Fp o;
+    memcpy(o.v, ONE_M, 32);
+    return o;
+  }
   static constexpr int words = 4;
 };
 
@@ -198,10 +237,17 @@ struct Ops<Fp2> {
   static void add(Fp2 &o, const Fp2 &a, const Fp2 &b) { fp2_add(o, a, b); }
   static void sub(Fp2 &o, const Fp2 &a, const Fp2 &b) { fp2_sub(o, a, b); }
   static void mul(Fp2 &o, const Fp2 &a, const Fp2 &b) { fp2_mul(o, a, b); }
+  static void inv(Fp2 &o, const Fp2 &a) { fp2_inv(o, a); }
   static bool is_zero(const Fp2 &a) { return fp2_is_zero(a); }
   static bool eq(const Fp2 &a, const Fp2 &b) { return fp2_eq(a, b); }
   static void to_mont(Fp2 &o, const Fp2 &a) { fp2_to_mont(o, a); }
   static void from_mont(Fp2 &o, const Fp2 &a) { fp2_from_mont(o, a); }
+  static Fp2 one() {
+    Fp2 o;
+    memcpy(o.c0.v, ONE_M, 32);
+    memset(o.c1.v, 0, 32);
+    return o;
+  }
   static constexpr int words = 8;
 };
 
@@ -310,6 +356,122 @@ static void pt_add(Pt<F> &o, const Pt<F> &p1, const Pt<F> &p2) {
   o.z = z3;
 }
 
+// ---- affine tier: batch-normalized tables + mixed adds --------------------
+//
+// A jacobian+affine add (madd-2007-bl) costs ~11 field muls vs ~16 for the
+// full jacobian add.  Tables (MSM input points, the fixed-base comb) are
+// normalized ONCE with Montgomery's batch-inversion trick (one Fermat
+// inversion total), and every accumulate thereafter is mixed.
+
+template <typename F>
+struct APt {
+  F x, y;  // affine, never the identity (callers track identity flags)
+};
+
+template <typename F>
+static void batch_inverse(F *xs, size_t n) {
+  typedef Ops<F> O;
+  std::vector<F> prefix(n);
+  F run = O::one();
+  for (size_t i = 0; i < n; i++) {
+    prefix[i] = run;
+    F t;
+    O::mul(t, run, xs[i]);
+    run = t;
+  }
+  F inv;
+  O::inv(inv, run);
+  for (size_t i = n; i-- > 0;) {
+    F orig = xs[i];
+    O::mul(xs[i], inv, prefix[i]);
+    F t;
+    O::mul(t, inv, orig);
+    inv = t;
+  }
+}
+
+/* Normalize jacobian points to affine; identity entries get inf[i]=1 and an
+ * arbitrary (unused) affine slot. */
+template <typename F>
+static void pts_to_affine(const std::vector<Pt<F>> &pts,
+                          std::vector<APt<F>> &out, std::vector<char> &inf) {
+  typedef Ops<F> O;
+  size_t n = pts.size();
+  out.resize(n);
+  inf.assign(n, 0);
+  std::vector<F> zs(n);
+  for (size_t i = 0; i < n; i++) {
+    if (pt_is_identity(pts[i])) {
+      inf[i] = 1;
+      zs[i] = O::one();
+    } else {
+      zs[i] = pts[i].z;
+    }
+  }
+  batch_inverse(zs.data(), n);
+  for (size_t i = 0; i < n; i++) {
+    F zi2, zi3;
+    O::mul(zi2, zs[i], zs[i]);
+    O::mul(zi3, zi2, zs[i]);
+    O::mul(out[i].x, pts[i].x, zi2);
+    O::mul(out[i].y, pts[i].y, zi3);
+  }
+}
+
+template <typename F>
+static void pt_from_affine(Pt<F> &o, const APt<F> &a) {
+  o.x = a.x;
+  o.y = a.y;
+  o.z = Ops<F>::one();
+}
+
+template <typename F>
+static void pt_add_mixed(Pt<F> &o, const Pt<F> &p1, const APt<F> &p2) {
+  typedef Ops<F> O;
+  if (pt_is_identity(p1)) {
+    pt_from_affine(o, p2);
+    return;
+  }
+  F z1z1, u2, s2, t;
+  O::mul(z1z1, p1.z, p1.z);
+  O::mul(u2, p2.x, z1z1);
+  O::mul(t, p2.y, p1.z);
+  O::mul(s2, t, z1z1);
+  if (O::eq(p1.x, u2)) {
+    if (O::eq(p1.y, s2)) {
+      pt_double(o, p1);
+      return;
+    }
+    pt_identity(o);
+    return;
+  }
+  F h, hh, i, j, r, v, x3, y3, z3;
+  O::sub(h, u2, p1.x);
+  O::mul(hh, h, h);
+  O::add(i, hh, hh);
+  O::add(i, i, i);  // 4*hh
+  O::mul(j, h, i);
+  O::sub(r, s2, p1.y);
+  O::add(r, r, r);
+  O::mul(v, p1.x, i);
+  O::mul(x3, r, r);
+  O::sub(x3, x3, j);
+  O::sub(x3, x3, v);
+  O::sub(x3, x3, v);
+  O::sub(t, v, x3);
+  O::mul(y3, r, t);
+  O::mul(t, p1.y, j);
+  O::add(t, t, t);
+  O::sub(y3, y3, t);
+  O::add(z3, p1.z, h);
+  O::mul(z3, z3, z3);
+  O::sub(z3, z3, z1z1);
+  O::sub(z3, z3, hh);
+  o.x = x3;
+  o.y = y3;
+  o.z = z3;
+}
+
 static int scalar_bit(const u64 *s, int bit) {
   return (s[bit >> 6] >> (bit & 63)) & 1;
 }
@@ -366,6 +528,12 @@ static void msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
   for (long long i = 0; i < (long long)n; i++)
     load_pt(pts[i], points + i * 3 * Ops<F>::words);
 
+  // normalize the inputs once (one batch inversion); every bucket
+  // accumulate is then a mixed jacobian+affine add (~11 muls vs ~16)
+  std::vector<APt<F>> apts;
+  std::vector<char> inf;
+  pts_to_affine(pts, apts, inf);
+
   // windows are independent: bucket-accumulate them in parallel
   std::vector<Pt<F>> window_sums(nwin);
 #pragma omp parallel for schedule(dynamic, 1)
@@ -374,6 +542,7 @@ static void msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
     std::vector<char> used(nbuckets, 0);
     int base = win * w;
     for (u64 i = 0; i < n; i++) {
+      if (inf[i]) continue;
       u64 digit = 0;
       for (int k = w - 1; k >= 0; k--) {
         int bit = base + k;
@@ -382,11 +551,11 @@ static void msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
       if (!digit) continue;
       size_t b = digit - 1;
       if (!used[b]) {
-        buckets[b] = pts[i];
+        pt_from_affine(buckets[b], apts[i]);
         used[b] = 1;
       } else {
         Pt<F> tmp;
-        pt_add(tmp, buckets[b], pts[i]);
+        pt_add_mixed(tmp, buckets[b], apts[i]);
         buckets[b] = tmp;
       }
     }
@@ -426,10 +595,17 @@ template <typename F>
 static void batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
   Pt<F> b;
   load_pt(b, base);
+  if (pt_is_identity(b)) {  // identity^e = identity for every e
+    Pt<F> id;
+    pt_identity(id);
+    for (u64 i = 0; i < n; i++) store_pt(out + i * 3 * Ops<F>::words, id);
+    return;
+  }
   // 8-bit fixed-base comb: table[win][v-1] = v * 2^(8 win) * base.
   // 32*255 precomputed adds amortize over the batch; each exponentiation
   // is then <= 32 additions (one per nonzero byte) instead of ~128
-  // (one per set bit).
+  // (one per set bit).  The comb is batch-normalized to affine (one
+  // inversion), so each of those additions is a mixed add.
   std::vector<Pt<F>> table(32 * 255);
   Pt<F> cur = b;
   for (int win = 0; win < 32; win++) {
@@ -442,6 +618,9 @@ static void batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
       cur = nxt;
     }
   }
+  std::vector<APt<F>> atable;
+  std::vector<char> inf;  // all zero: prime-order base, multiples < order
+  pts_to_affine(table, atable, inf);
 #pragma omp parallel for schedule(static)
   for (long long i = 0; i < (long long)n; i++) {
     Pt<F> acc;
@@ -451,7 +630,7 @@ static void batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
       unsigned byte = (unsigned)((e[win / 8] >> (8 * (win % 8))) & 0xFF);
       if (byte) {
         Pt<F> tmp;
-        pt_add(tmp, acc, table[win * 255 + byte - 1]);
+        pt_add_mixed(tmp, acc, atable[win * 255 + byte - 1]);
         acc = tmp;
       }
     }
