@@ -242,6 +242,59 @@ static void store_pt(u64 *dst, const Pt &p) {
   fe_pack(dst + 12, p.t);
 }
 
+// ---- cached (z = 1) form for batch-normalized tables ----------------------
+// (y+x, y-x, 2d*t): the mixed add below is 7M vs the unified add's 9M + the
+// 2d multiply.  Tables (MSM inputs, the fixed-base comb) are normalized once
+// with Montgomery's batch-inversion trick (one Fermat inversion per pass).
+
+struct CPt {
+  Fe ypx, ymx, t2d;
+};
+
+static void fe_inv(Fe &o, const Fe &a);  // defined below (Fermat ladder)
+
+static void pts_to_cached(const std::vector<Pt> &pts, std::vector<CPt> &out) {
+  size_t n = pts.size();
+  out.resize(n);
+  if (n == 0) return;
+  std::vector<Fe> prefix(n + 1);
+  fe_one(prefix[0]);
+  for (size_t i = 0; i < n; i++) fe_mul(prefix[i + 1], prefix[i], pts[i].z);
+  Fe inv;
+  fe_inv(inv, prefix[n]);  // z != 0 on the prime-order subgroup
+  for (size_t i = n; i-- > 0;) {
+    Fe zinv, t, x, y, tt;
+    fe_mul(zinv, prefix[i], inv);
+    fe_mul(t, inv, pts[i].z);
+    inv = t;
+    fe_mul(x, pts[i].x, zinv);
+    fe_mul(y, pts[i].y, zinv);
+    fe_mul(tt, pts[i].t, zinv);
+    fe_add(out[i].ypx, y, x);
+    fe_sub(out[i].ymx, y, x);
+    fe_mul(out[i].t2d, tt, TWO_D_F);
+  }
+}
+
+// complete on the subgroup like pt_add (identity in either operand works)
+static void pt_add_cached(Pt &o, const Pt &p, const CPt &q) {
+  Fe a, b, c, d, e, f, g, h, t0;
+  fe_sub(t0, p.y, p.x);
+  fe_mul(a, t0, q.ymx);
+  fe_add(t0, p.y, p.x);
+  fe_mul(b, t0, q.ypx);
+  fe_mul(c, p.t, q.t2d);
+  fe_add(d, p.z, p.z);
+  fe_sub(e, b, a);
+  fe_sub(f, d, c);
+  fe_add(g, d, c);
+  fe_add(h, b, a);
+  fe_mul(o.x, e, f);
+  fe_mul(o.y, g, h);
+  fe_mul(o.z, f, g);
+  fe_mul(o.t, e, h);
+}
+
 static int scalar_bit(const u64 *s, int bit) {
   return (s[bit >> 6] >> (bit & 63)) & 1;
 }
@@ -361,6 +414,10 @@ void vmpc_ed_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
 #pragma omp parallel for schedule(static)
   for (long long i = 0; i < (long long)n; i++) load_pt(pts[i], points + i * 16);
 
+  // normalize once: every bucket accumulate is then a 7M cached add
+  std::vector<CPt> cpts;
+  pts_to_cached(pts, cpts);
+
   // windows are independent: bucket-accumulate them in parallel
   std::vector<Pt> window_sums(nwin);
 #pragma omp parallel for schedule(dynamic, 1)
@@ -381,7 +438,7 @@ void vmpc_ed_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
         used[b] = 1;
       } else {
         Pt tmp;
-        pt_add(tmp, buckets[b], pts[i]);
+        pt_add_cached(tmp, buckets[b], cpts[i]);
         buckets[b] = tmp;
       }
     }
@@ -436,6 +493,9 @@ void vmpc_ed_batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
       cur = nxt;
     }
   }
+  // batch-normalize the comb (one inversion): each comb add is then 7M
+  std::vector<CPt> ctable;
+  pts_to_cached(table, ctable);
 #pragma omp parallel for schedule(static)
   for (long long i = 0; i < (long long)n; i++) {
     Pt acc;
@@ -445,7 +505,7 @@ void vmpc_ed_batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
       unsigned byte = (unsigned)((e[win / 8] >> (8 * (win % 8))) & 0xFF);
       if (byte) {
         Pt tmp;
-        pt_add(tmp, acc, table[win * 255 + byte - 1]);
+        pt_add_cached(tmp, acc, ctable[win * 255 + byte - 1]);
         acc = tmp;
       }
     }
