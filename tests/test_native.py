@@ -113,3 +113,37 @@ class TestNativeBN:
 
         exps = [1, 7, rng.randrange(ORDER)]
         assert native.bn2_batch_exp(g2, exps) == [g2 ** e for e in exps]
+
+
+def test_native_msm_duplicate_and_inverse_points():
+    """The batch-normalized mixed-add tier's equal-point (double) and
+    inverse-point (identity) branches, exercised through bucket collisions."""
+    import random
+
+    from verifiable_mpc_tpu import native
+    from verifiable_mpc_tpu.groups.bn256 import ORDER, BNPoint
+    from verifiable_mpc_tpu.groups.edwards import ELL, EdwardsPoint
+    from verifiable_mpc_tpu.ops import dispatch
+
+    rng = random.Random(12)
+    g = BNPoint.generator
+    p = g * 12345
+    pts = [p] * 100 + [g * rng.randrange(1, ORDER) for _ in range(60)]
+    sc = [7] * 100 + [rng.randrange(ORDER) for _ in range(60)]
+    exp = BNPoint.identity
+    for q, s in zip(pts, sc):
+        exp = exp + q * s
+    assert native.bn_msm(pts, sc) == exp
+    # p and -p with equal scalars cancel inside one bucket
+    np_ = BNPoint(p.x, -p.y, p.z, check=False)
+    assert native.bn_msm([p, np_, g], [5, 5, 1]) == g
+
+    ge = EdwardsPoint.generator
+    pe = ge ** 999
+    ptse = [pe] * 50 + [ge ** rng.randrange(1, ELL) for _ in range(30)]
+    sce = [9] * 50 + [rng.randrange(ELL) for _ in range(30)]
+    assert native.ed_msm(ptse, sce) == dispatch._host_multiexp(ptse, sce)
+
+    es = [42] * 20 + [ORDER - 1] * 4
+    be = native.bn_batch_exp(g, es)
+    assert all(be[i] == g * e for i, e in enumerate(es))
