@@ -10,7 +10,28 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+
+def _cpu_tag() -> str:
+    """Fingerprint the host CPU so the persistent cache never serves
+    executables compiled on a machine with different features.  XLA:CPU
+    loads such AOT results with only a warning ("+prefer-no-gather is not
+    supported on the host machine ... could lead to execution errors such
+    as SIGILL") and they have crashed the suite (segfaults previously
+    attributed to executable (de)serialization)."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return platform.machine()
+
+
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_vmpc")
+jax.config.update("jax_compilation_cache_dir", f"/root/.cache/jax_vmpc_{_cpu_tag()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -18,11 +18,32 @@ from . import fields
 from . import groups
 
 
-def enable_compile_cache(path: str = "/root/.cache/jax_vmpc_tpu"):
+def _host_cpu_tag() -> str:
+    """Host-CPU fingerprint for cache-dir isolation: XLA:CPU loads AOT
+    executables compiled on a machine with different features with only a
+    warning, and they can SIGILL/segfault (tests/conftest.py has the same
+    guard).  TPU executables are target-coded, but CPU-backend programs
+    (e.g. the multi-chip dryrun) share the cache dir."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return platform.machine()
+
+
+def enable_compile_cache(path: str | None = None):
     """Persistent XLA/Mosaic compile cache — first compile of each kernel
     shape costs 60-100 s on the TPU tunnel; reruns then load from disk."""
     import jax
 
+    if path is None:
+        path = f"/root/.cache/jax_vmpc_tpu_{_host_cpu_tag()}"
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
