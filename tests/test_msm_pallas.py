@@ -96,14 +96,19 @@ def test_limbs_lm_sq_wide_oracle():
 
 
 def test_signed_recoding_roundtrip():
-    """Balanced signed-window recoding reconstructs s mod order with digit
-    magnitudes <= 8, including 256-bit orders where a near-order scalar has
-    top-window digit 8 (the unbalanced recoding overflowed NWINDOWS there)."""
+    """Balanced signed-window recoding reconstructs s mod order with every
+    digit in [-7, 8] (the exact offset-7 nibble range _pack_digits needs),
+    including 256-bit orders where a near-order scalar has top-window digit
+    8 (the unbalanced recoding overflowed NWINDOWS there) and negated
+    columns (s > order/2), where a single d > 8 borrow rule used to emit -8
+    digits that the nibble pack silently flipped to +8."""
     from verifiable_mpc_tpu.groups.bn256 import ORDER as BN_ORDER
 
     for order in (ELL, BN_ORDER):
         ss = [rng.randrange(order) for _ in range(500)]
         ss += [0, 1, order - 1, order // 2, order // 2 + 1, 1 << 255]
+        # scalars balanced-negated with a +8 digit somewhere: order - k*16^j*8
+        ss += [(order - 8 * (1 << (4 * j))) % order for j in range(0, 60, 7)]
         digs = mp._scalar_digits_signed(ss, order).astype(object)
         recon = np.zeros(len(ss), dtype=object)
         for w in range(digs.shape[0]):
@@ -111,7 +116,19 @@ def test_signed_recoding_roundtrip():
         assert all(
             (int(r) - (s % order)) % order == 0 for r, s in zip(recon, ss)
         )
-        assert int(np.abs(digs.astype(np.int64)).max()) <= 8
+        d64 = digs.astype(np.int64)
+        assert int(d64.min()) >= -7 and int(d64.max()) <= 8
+
+
+def test_recoded_digits_pack_roundtrip():
+    """pack(unpack) is the identity on REAL recoded digits (uniform scalars:
+    ~half the columns are negated, so this covers the distribution that used
+    to produce -8 and corrupt every packed TPU MSM)."""
+    ss = [rng.randrange(ELL) for _ in range(512)]
+    digs = mp._scalar_digits_signed(ss, ELL)  # [64, 512] int8
+    packed = mp._pack_digits(digs)
+    un = np.asarray(mp._unpack_digits(jnp.asarray(packed), digs.shape[0]))
+    assert (un == digs).all()
 
 
 def test_digit_nibble_pack_roundtrip():

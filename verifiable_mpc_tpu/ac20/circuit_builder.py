@@ -157,15 +157,18 @@ class Circuit:
             isinstance(v, (int, FiniteFieldElement)) for v in inputs
         )
         memo = getattr(self, "_triples_memo", None)
-        if (
-            plain
-            and memo is not None
-            and memo[0] == self.gate_ct
-            # identity first: the O(n) value comparison costs as much as
-            # the native triples pass itself at 2^16
-            and (memo[1] is inputs or list(memo[1]) == list(inputs))
-        ):
-            return memo[2]
+        if plain and memo is not None and memo[0] == self.gate_ct:
+            cached_inputs, cached = memo[1], memo[2]
+            # per-element identity short-circuits the common
+            # call-twice-with-the-same-objects pattern; equality catches a
+            # caller that rebuilt an equal list.  A bare whole-list identity
+            # check is NOT safe: in-place mutation would serve stale triples.
+            if len(cached_inputs) == len(inputs) and all(
+                a is b or a == b for a, b in zip(cached_inputs, inputs)
+            ):
+                # shallow copies: callers may extend/mutate the returned
+                # lists without poisoning later memo hits
+                return tuple(list(xs) for xs in cached)
         mul_gs = self.mul_gates()
         left_forms = [construct_sparse_form(g, self, wire=0) for g in mul_gs]
         right_forms = [construct_sparse_form(g, self, wire=1) for g in mul_gs]
@@ -183,9 +186,10 @@ class Circuit:
                 vals[n + i] = gamma[i]
             result = (alpha, beta, gamma)
         if plain:
-            # keep the original list object alive so the identity check
-            # stays valid for the common call-twice-with-same-list pattern
-            self._triples_memo = (self.gate_ct, inputs, result)
+            # snapshot the inputs so later in-place mutation of the caller's
+            # list cannot match the memo
+            self._triples_memo = (self.gate_ct, tuple(inputs), result)
+            return tuple(list(xs) for xs in result)
         return result
 
     def eval(self, inputs, gate):

@@ -86,6 +86,42 @@ static inline PyObject *get_value(PyObject *v) {
     return PyObject_GetAttr(v, str_value);
 }
 
+/* all interned attribute names materialized? (PyUnicode_InternFromString
+ * can return NULL on memory pressure; using a NULL name would crash in
+ * PyObject_GetAttr).  On failure an exception is already set. */
+static inline int names_ok(PyObject **names, int k) {
+    for (int j = 0; j < k; j++)
+        if (!names[j]) return 0;
+    return 1;
+}
+
+/* checked export of an int-valued attribute as 32 LE bytes: a non-int
+ * (e.g. a wrapper field element) raises TypeError instead of the UB of
+ * casting an arbitrary object to PyLongObject*. */
+static inline int long_to_le32(PyObject *v, unsigned char *dst) {
+    if (!PyLong_Check(v)) {
+        PyErr_Format(PyExc_TypeError,
+                     "expected int attribute, got %.100s",
+                     Py_TYPE(v)->tp_name);
+        return -1;
+    }
+    return _PyLong_AsByteArray((PyLongObject *)v, dst, 32, 1, 0);
+}
+
+/* reject buffers whose length is not an exact row multiple: silently
+ * dropping a partial trailing row would return a truncated list.
+ * Releases the view on failure. */
+static int check_rows(Py_buffer *view, Py_ssize_t row) {
+    if (view->len % row) {
+        PyErr_Format(PyExc_ValueError,
+                     "buffer length %zd is not a multiple of row size %zd",
+                     view->len, row);
+        PyBuffer_Release(view);
+        return -1;
+    }
+    return 0;
+}
+
 /* -------------------------------------------------------------- encode */
 
 /* encode_vals(seq, ftype, half, modulus) -> bytes | None | element
@@ -175,6 +211,7 @@ static PyObject *encode_ed_points(PyObject *self, PyObject *args) {
     names[1] = PyUnicode_InternFromString("y");
     names[2] = PyUnicode_InternFromString("z");
     names[3] = PyUnicode_InternFromString("t");
+    if (!names_ok(names, 4)) goto fail;
 
     for (Py_ssize_t i = 0; i < n; i++) {
         PyObject *p = PyList_GET_ITEM(seq, i);
@@ -223,6 +260,7 @@ static PyObject *encode_bn_points(PyObject *self, PyObject *args) {
     names[0] = PyUnicode_InternFromString("x");
     names[1] = PyUnicode_InternFromString("y");
     names[2] = PyUnicode_InternFromString("z");
+    if (!names_ok(names, 3)) goto fail;
 
     for (Py_ssize_t i = 0; i < n; i++) {
         PyObject *p = PyList_GET_ITEM(seq, i);
@@ -349,7 +387,8 @@ static PyObject *ed_pts_to_u64(PyObject *self, PyObject *args) {
     names[1] = PyUnicode_InternFromString("y");
     names[2] = PyUnicode_InternFromString("z");
     names[3] = PyUnicode_InternFromString("t");
-    PyObject *out = PyBytes_FromStringAndSize(NULL, n * 128);
+    PyObject *out =
+        names_ok(names, 4) ? PyBytes_FromStringAndSize(NULL, n * 128) : NULL;
     if (!out) goto fail0;
     unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
     for (Py_ssize_t i = 0; i < n; i++) {
@@ -386,6 +425,7 @@ fail0:
 static PyObject *u64x4_to_ints(PyObject *self, PyObject *args) {
     Py_buffer view;
     if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+    if (check_rows(&view, 32)) return NULL;
     Py_ssize_t n = view.len / 32;
     PyObject *out = PyList_New(n);
     if (!out) { PyBuffer_Release(&view); return NULL; }
@@ -414,6 +454,7 @@ static PyObject *u64x4_to_vals(PyObject *self, PyObject *args) {
         return NULL;
     }
     PyTypeObject *tp = (PyTypeObject *)ftype;
+    if (check_rows(&view, 32)) return NULL;
     PyObject *empty = PyTuple_New(0);
     if (!empty) { PyBuffer_Release(&view); return NULL; }
     Py_ssize_t n = view.len / 32;
@@ -445,6 +486,7 @@ static PyObject *u64_to_ed_pts(PyObject *self, PyObject *args) {
     Py_buffer view;
     PyObject *ptype;
     if (!PyArg_ParseTuple(args, "y*O", &view, &ptype)) return NULL;
+    if (check_rows(&view, 128)) return NULL;
     Py_ssize_t n = view.len / 128;
     PyObject *out = PyList_New(n);
     if (!out) { PyBuffer_Release(&view); return NULL; }
@@ -482,7 +524,8 @@ static PyObject *bn_pts_to_u64(PyObject *self, PyObject *args) {
     names[0] = PyUnicode_InternFromString("x");
     names[1] = PyUnicode_InternFromString("y");
     names[2] = PyUnicode_InternFromString("z");
-    PyObject *out = PyBytes_FromStringAndSize(NULL, n * 96);
+    PyObject *out =
+        names_ok(names, 3) ? PyBytes_FromStringAndSize(NULL, n * 96) : NULL;
     if (!out) goto fail0;
     unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
     for (Py_ssize_t i = 0; i < n; i++) {
@@ -498,8 +541,7 @@ static PyObject *bn_pts_to_u64(PyObject *self, PyObject *args) {
             PyObject *v = PyObject_GetAttr(c, str_value);
             Py_DECREF(c);
             if (!v) goto fail;
-            int rc = _PyLong_AsByteArray((PyLongObject *)v,
-                                         dst + i * 96 + j * 32, 32, 1, 0);
+            int rc = long_to_le32(v, dst + i * 96 + j * 32);
             Py_DECREF(v);
             if (rc < 0) goto fail;
         }
@@ -529,11 +571,12 @@ static PyObject *u64_to_bn_pts(PyObject *self, PyObject *args) {
     }
     PyTypeObject *ptp = (PyTypeObject *)ptype;
     PyTypeObject *ftp = (PyTypeObject *)ftype;
+    if (check_rows(&view, 96)) return NULL;
     PyObject *names[3];
     names[0] = PyUnicode_InternFromString("x");
     names[1] = PyUnicode_InternFromString("y");
     names[2] = PyUnicode_InternFromString("z");
-    PyObject *empty = PyTuple_New(0);
+    PyObject *empty = names_ok(names, 3) ? PyTuple_New(0) : NULL;
     PyObject *out = NULL;
     if (!empty) goto fail0;
     Py_ssize_t n = view.len / 96;
@@ -583,7 +626,8 @@ static PyObject *bn2_pts_to_u64(PyObject *self, PyObject *args) {
     names[0] = PyUnicode_InternFromString("x");
     names[1] = PyUnicode_InternFromString("y");
     names[2] = PyUnicode_InternFromString("z");
-    PyObject *out = PyBytes_FromStringAndSize(NULL, n * 192);
+    PyObject *out =
+        names_ok(names, 3) ? PyBytes_FromStringAndSize(NULL, n * 192) : NULL;
     if (!out) goto fail0;
     unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
     for (Py_ssize_t i = 0; i < n; i++) {
@@ -599,14 +643,9 @@ static PyObject *bn2_pts_to_u64(PyObject *self, PyObject *args) {
             PyObject *c0 = PyObject_GetAttr(c, str_c0);
             PyObject *c1 = c0 ? PyObject_GetAttr(c, str_c1) : NULL;
             Py_DECREF(c);
-            int rc = c1 ? _PyLong_AsByteArray(
-                              (PyLongObject *)c0,
-                              dst + i * 192 + j * 64, 32, 1, 0)
-                        : -1;
+            int rc = c1 ? long_to_le32(c0, dst + i * 192 + j * 64) : -1;
             if (rc == 0)
-                rc = _PyLong_AsByteArray((PyLongObject *)c1,
-                                         dst + i * 192 + j * 64 + 32,
-                                         32, 1, 0);
+                rc = long_to_le32(c1, dst + i * 192 + j * 64 + 32);
             Py_XDECREF(c0);
             Py_XDECREF(c1);
             if (rc < 0) goto fail;
@@ -635,11 +674,12 @@ static PyObject *u64_to_bn2_pts(PyObject *self, PyObject *args) {
     }
     PyTypeObject *ptp = (PyTypeObject *)ptype;
     PyTypeObject *ftp = (PyTypeObject *)f2type;
+    if (check_rows(&view, 192)) return NULL;
     PyObject *names[3];
     names[0] = PyUnicode_InternFromString("x");
     names[1] = PyUnicode_InternFromString("y");
     names[2] = PyUnicode_InternFromString("z");
-    PyObject *empty = PyTuple_New(0);
+    PyObject *empty = names_ok(names, 3) ? PyTuple_New(0) : NULL;
     PyObject *out = NULL;
     if (!empty) goto fail0;
     Py_ssize_t n = view.len / 192;

@@ -253,16 +253,44 @@ struct CPt {
 
 static void fe_inv(Fe &o, const Fe &a);  // defined below (Fermat ladder)
 
+// canonical zero test (handles non-canonical representations 0 and p)
+static bool fe_is_zero(const Fe &a) {
+  u64 d[4];
+  fe_pack(d, a);
+  return (d[0] | d[1] | d[2] | d[3]) == 0;
+}
+
 static void pts_to_cached(const std::vector<Pt> &pts, std::vector<CPt> &out) {
   size_t n = pts.size();
   out.resize(n);
   if (n == 0) return;
+  // Every VALID Edwards point (identity included) has z != 0, but a
+  // malformed/adversarial z = 0 entry would zero the running product and
+  // silently corrupt the whole batch after the single Fermat inversion.
+  // Mirror the BN path (bn256.cc pts_to_affine inf flags): substitute 1 in
+  // the inversion chain and emit the identity's cached form (ypx=1, ymx=1,
+  // t2d=0 — exactly neutral under pt_add_cached), so a bad entry acts as
+  // the identity instead of poisoning every other point.
+  std::vector<char> bad(n, 0);
   std::vector<Fe> prefix(n + 1);
   fe_one(prefix[0]);
-  for (size_t i = 0; i < n; i++) fe_mul(prefix[i + 1], prefix[i], pts[i].z);
+  for (size_t i = 0; i < n; i++) {
+    Fe z = pts[i].z;
+    if (fe_is_zero(z)) {
+      bad[i] = 1;
+      fe_one(z);
+    }
+    fe_mul(prefix[i + 1], prefix[i], z);
+  }
   Fe inv;
-  fe_inv(inv, prefix[n]);  // z != 0 on the prime-order subgroup
+  fe_inv(inv, prefix[n]);
   for (size_t i = n; i-- > 0;) {
+    if (bad[i]) {
+      fe_one(out[i].ypx);
+      fe_one(out[i].ymx);
+      fe_zero(out[i].t2d);
+      continue;  // z was replaced by 1 in the chain: inv is already right
+    }
     Fe zinv, t, x, y, tt;
     fe_mul(zinv, prefix[i], inv);
     fe_mul(t, inv, pts[i].z);

@@ -52,28 +52,37 @@ TABLE_S = (1 << (WINDOW - 1)) + 1  # 0..8: signed-digit MSM table
 
 
 def _scalar_digits_signed(scalars, order: int = ELL) -> np.ndarray:
-    """[N] ints -> [NWINDOWS, N] int32 signed 4-bit digits in [-8, 8],
+    """[N] ints -> [NWINDOWS, N] int32 signed 4-bit digits in [-7, 8],
     most significant window first.
 
-    Standard signed-window recoding: d > 8 borrows 16 from the next window,
-    so the multiple table only needs 0..8 (halving both the table-build adds
-    and the digit-select chain vs the unsigned 0..15 table).  Scalars are
-    first balanced to [-order/2, order/2] (s > order/2 recodes order - s
-    with all digits negated): for a 256-bit order a near-order scalar has
-    top-window digit 8, and a borrow carry out of the MSB window would
-    otherwise overflow NWINDOWS."""
+    Standard signed-window recoding: a large digit borrows 16 from the next
+    window, so the multiple table only needs 0..8 (halving both the
+    table-build adds and the digit-select chain vs the unsigned 0..15
+    table).  Scalars are first balanced to [-order/2, order/2] (s > order/2
+    recodes order - s with all digits negated): for a 256-bit order a
+    near-order scalar has top-window digit 8, and a borrow carry out of the
+    MSB window would otherwise overflow NWINDOWS.
+
+    The borrow threshold is per-column: columns that will be negated borrow
+    at d >= 8 (pre-negation digits in [-8, 7]), the rest at d > 8 (digits in
+    [-7, 8]).  After negation EVERY digit is in [-7, 8] — exactly the 16
+    values an offset-7 nibble holds, which :func:`_pack_digits` relies on.
+    (A single d > 8 rule would emit -8 on negated columns; packed as a
+    nibble that reads back as +8 and clobbers the paired window.)"""
     reduced = np.array([int(s) % order for s in scalars], dtype=object)
     neg = reduced > order // 2
     balanced = np.where(neg, order - reduced, reduced)
     digs = _scalar_digits(list(balanced), order)[::-1].astype(np.int64)
+    thresh = np.where(neg, 8, 9)
     carry = np.zeros(digs.shape[1], np.int64)
     out = np.empty_like(digs)
     for w in range(digs.shape[0]):
         d = digs[w] + carry
-        carry = (d > 8).astype(np.int64)
+        carry = (d >= thresh).astype(np.int64)
         out[w] = d - 16 * carry
     assert not carry.any(), "scalar overflow in signed recoding"
     out[:, neg] = -out[:, neg]
+    assert out.min(initial=0) >= -7 and out.max(initial=0) <= 8
     # int8 halves nothing in VMEM (the kernel widens to i32 on device) but
     # quarters the per-MSM host->device digit upload, which is a large part
     # of MSM wall time on the tunnel backend
@@ -402,6 +411,12 @@ def _pack_digits(digits_np: np.ndarray) -> np.ndarray:
     a large share of MSM wall time on the tunnel backend.  W must be even
     (the TPU path always uses 8 or 64 windows)."""
     assert digits_np.shape[0] % 2 == 0
+    lo = int(digits_np.min(initial=0))
+    hi = int(digits_np.max(initial=0))
+    assert -7 <= lo and hi <= 8, (
+        f"digit range [{lo}, {hi}] does not fit the offset-7 nibble; "
+        "_scalar_digits_signed guarantees [-7, 8]"
+    )
     off = digits_np.astype(np.int16) + 7  # 0..15
     return (off[0::2] | (off[1::2] << 4)).astype(np.uint8)
 
