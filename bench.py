@@ -2,19 +2,99 @@
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+or, if the TPU tunnel backend is down, a parseable error record:
+    {"metric": ..., "value": null, "unit": ..., "error": "..."}
 
 The reference (toonsegers/verifiable_mpc) publishes no numbers and its MPyC
 dependency is not installable here (BASELINE.md), so the baseline is the
 measured pure-Python host rate of the same Pedersen/MSM primitive — an
 honest stand-in for the reference's sequential-loop commitment
 (reference pivot.py:139-145), whose per-point cost is size-independent.
+
+Hardening (a round-2 outage produced rc=1 with zero output): backend
+initialization is probed in a SUBPROCESS with a bounded timeout and
+retries (a hung tunnel cannot wedge this process), and the whole bench
+runs under a watchdog that emits the error record and exits if any later
+stage (compile, launch) hangs past BENCH_DEADLINE_S (default 1500 s).
 """
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
+
+METRIC = "msm_points_per_sec_per_chip_ed25519"
+_record_emitted = threading.Event()
+
+
+def _emit_error(stage: str, msg: str) -> None:
+    if _record_emitted.is_set():
+        return
+    _record_emitted.set()
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": None,
+                "unit": "points/s",
+                "error": f"{stage}: {msg}"[:2000],
+            }
+        ),
+        flush=True,
+    )
+
+
+def _probe_backend(timeout_s: float = 240.0, attempts: int = 3) -> str | None:
+    """Initialize the JAX backend in a subprocess (a hung tunnel cannot
+    wedge the bench process) with retries + backoff.  Returns the platform
+    string on success, None after emitting the error record on failure."""
+    code = (
+        "import jax; d = jax.devices(); "
+        "print(d[0].platform if d else 'none')"
+    )
+    last = "no attempts ran"
+    for attempt in range(attempts):
+        if attempt:
+            backoff = 15 * attempt
+            print(f"backend probe retry in {backoff}s", file=sys.stderr)
+            time.sleep(backoff)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            last = f"init timed out after {timeout_s:.0f}s"
+            print(f"backend probe: {last}", file=sys.stderr)
+            continue
+        if r.returncode == 0 and r.stdout.strip():
+            plat = r.stdout.strip().splitlines()[-1]
+            print(f"backend probe ok: {plat}", file=sys.stderr)
+            return plat
+        last = (r.stderr.strip() or r.stdout.strip() or "no output")[-500:]
+        print(f"backend probe rc={r.returncode}: {last}", file=sys.stderr)
+    _emit_error("backend_init", last)
+    return None
+
+
+def _start_watchdog(deadline_s: float) -> None:
+    """Emit the error record and hard-exit if the bench overruns: tunnel
+    hangs block in network waits (GIL released), so a daemon thread can
+    still run and os._exit."""
+
+    def watch():
+        time.sleep(deadline_s)
+        _emit_error("watchdog", f"bench exceeded {deadline_s:.0f}s deadline")
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=watch, daemon=True).start()
 
 
 def _enable_compile_cache():
@@ -24,9 +104,22 @@ def _enable_compile_cache():
 
 
 def main():
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+    _start_watchdog(deadline)
+    if _probe_backend() is None:
+        return
+
     import jax
 
     _enable_compile_cache()
+
+    try:
+        ndev = len(jax.devices())
+        plat = jax.default_backend()
+    except Exception as e:  # probe passed but this process could not attach
+        _emit_error("backend_attach", repr(e))
+        return
+    print(f"backend: {plat} x{ndev}", file=sys.stderr)
 
     from verifiable_mpc_tpu.groups.edwards import ELL, EdwardsPoint
     from verifiable_mpc_tpu.ops import dispatch
@@ -47,8 +140,6 @@ def main():
 
     # ---- TPU kernel rate at bench size -----------------------------------
     from verifiable_mpc_tpu.ops import msm_pallas as mp
-
-    import os
 
     chunk, sub = 128, 32  # fused Pallas kernel tile (sub=32 amortizes launches)
     # default 2^16: the BASELINE configs prove 2^16-gate circuits, whose
@@ -111,14 +202,23 @@ def main():
     assert small == expect, "MSM correctness check failed"
 
     record = {
-        "metric": "msm_points_per_sec_per_chip_ed25519",
+        "metric": METRIC,
         "value": round(tpu_rate, 1),
         "unit": "points/s",
         "vs_baseline": round(tpu_rate / host_rate, 2),
     }
     record["log2_n"] = log2n  # rates are size-dependent: always recorded
-    print(json.dumps(record))
+    _record_emitted.set()
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:  # any crash still yields a parseable record
+        import traceback
+
+        traceback.print_exc()
+        _emit_error("exception", repr(e))
