@@ -2,7 +2,7 @@
 interpret-mode pipeline test.
 
 The TPU kernel shape (lanes=128, nw=32) is validated on hardware by
-probe_bucket.py (one Mosaic compile, persisted); here lanes/windows shrink
+probes/probe_bucket.py (one Mosaic compile, persisted); here lanes/windows shrink
 so the discharged interpret-mode trace stays small, mirroring the approach
 of tests/test_msm_pallas.py."""
 

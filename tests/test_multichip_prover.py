@@ -1,0 +1,114 @@
+"""Full-prover multi-chip identity: the COMPLETE AC20 circuit-sat prove,
+with its MSM/fold hot path dispatched to the mesh-sharded kernels, must
+produce a byte-identical proof on a 1-device and an 8-device mesh (and to
+the host backend) — SURVEY.md §4(c), the analogue of the reference's m=1
+degenerate-mode testing trick.
+
+Pinned randomness (rng.deterministic) makes the proof a pure function of
+the backend's group-element VALUES: any coordinate or ordering divergence
+in the sharded path would change the Fiat-Shamir transcript and the bytes.
+"""
+
+import random
+
+import jax
+import pytest
+
+from verifiable_mpc_tpu import enable_multichip, rng, serialization
+from verifiable_mpc_tpu.fields import GF
+from verifiable_mpc_tpu.groups import EllipticCurve
+from verifiable_mpc_tpu.ops import dispatch
+from verifiable_mpc_tpu.parallel import mesh as pmesh
+import verifiable_mpc_tpu.ac20.circuit_builder as cb
+import verifiable_mpc_tpu.ac20.circuit_sat_cb as cs
+
+prng = random.Random(7)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """Same guard as test_parallel.py: XLA:CPU executable (de)serialization
+    has crashed on multi-device shard_map programs; compile fresh."""
+    from jax._src import compilation_cache as _cc
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    _cc.reset_cache()
+
+
+@pytest.fixture(autouse=True)
+def _restore_dispatch():
+    """enable_multichip mutates process-global backend registries."""
+    saved = (
+        dict(dispatch._MSM_BACKENDS),
+        dict(dispatch._FOLD_BACKENDS),
+        dict(dispatch._BATCH_EXP_BACKENDS),
+    )
+    yield
+    dispatch._MSM_BACKENDS.clear()
+    dispatch._MSM_BACKENDS.update(saved[0])
+    dispatch._FOLD_BACKENDS.clear()
+    dispatch._FOLD_BACKENDS.update(saved[1])
+    dispatch._BATCH_EXP_BACKENDS.clear()
+    dispatch._BATCH_EXP_BACKENDS.update(saved[2])
+
+
+def _setup():
+    group = EllipticCurve("Ed25519", "projective")
+    gf = GF(group.order)
+    circuit = cb.Circuit()
+    x = cb.CircuitVar(gf(3), circuit, "x")
+    acc = x
+    for _ in range(7):
+        acc = acc * acc + 1
+    (acc * x).label_output("out")
+    xs = circuit.initial_inputs()
+    _, padding, g_length = cs.check_input_length_power_of_2(xs, circuit)
+    for i in range(padding):
+        cb.CircuitVar(gf(0), circuit, f"unused_{i}")
+    xs = circuit.initial_inputs()
+    with rng.deterministic(99):
+        generators = cs.create_generators(
+            g_length, cs.PivotChoice.compressed, group
+        )
+    return group, gf, circuit, xs, generators
+
+
+def _prove_bytes(circuit, xs, gf, generators) -> bytes:
+    with rng.deterministic(1234):
+        proof = cs.circuit_sat_prover(
+            generators, circuit, xs, gf, cs.PivotChoice.compressed
+        )
+    return serialization.dumps(proof)
+
+
+def test_full_prove_identical_on_1_and_8_device_mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    group, gf, circuit, xs, generators = _setup()
+
+    host_bytes = _prove_bytes(circuit, xs, gf, generators)
+
+    enable_multichip(pmesh.default_mesh(1), min_msm_batch=16, fused=False)
+    one_dev_bytes = _prove_bytes(circuit, xs, gf, generators)
+
+    enable_multichip(pmesh.default_mesh(8), min_msm_batch=16, fused=False)
+    eight_dev_bytes = _prove_bytes(circuit, xs, gf, generators)
+
+    assert host_bytes == one_dev_bytes
+    assert one_dev_bytes == eight_dev_bytes
+
+    # and the 8-device proof verifies like any other
+    with rng.deterministic(1234):
+        proof = cs.circuit_sat_prover(
+            generators, circuit, xs, gf, cs.PivotChoice.compressed
+        )
+    verification = cs.circuit_sat_verifier(
+        proof, generators, circuit, gf, cs.PivotChoice.compressed
+    )
+    ok = all(
+        v if not isinstance(v, dict) else all(v.values())
+        for v in verification.values()
+    )
+    assert ok, verification

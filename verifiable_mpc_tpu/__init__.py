@@ -74,6 +74,60 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
     ntt.register(min_poly_len)
 
 
+def enable_multichip(mesh=None, min_msm_batch: int = 64,
+                     fused: bool | None = None, chunk: int | None = None,
+                     sub: int = 8, axis: str = "shard"):
+    """Shard the prover's MSM / generator-fold hot path over a device mesh.
+
+    Registers ``parallel.mesh.sharded_msm[_fused]`` / ``sharded_fold[_fused]``
+    as the :mod:`ops.dispatch` backends for Ed25519, so the FULL protocol
+    stack — Pedersen commitments (reference pivot.py:139-145), protocol-4
+    A/B commitments and generator folds (compressed_pivot.py:29-86) — runs
+    partitioned over the mesh with the all_gather + tree-reduce combine.
+    Batches below ``min_msm_batch`` (the compression tail) stay on the host
+    backend; group-element values are identical either way, so proofs are
+    byte-identical to single-device runs (tests/test_multichip_prover.py).
+
+    ``fused`` selects the limb-major Pallas kernels (default on TPU); the
+    plain-XLA bit-serial kernels are the default on CPU, where Pallas
+    interpret mode is orders of magnitude slower.  Returns the mesh."""
+    import jax
+
+    from .groups.edwards import EdwardsPoint
+    from .ops import dispatch
+    from .parallel import mesh as pmesh
+
+    mesh = mesh or pmesh.default_mesh()
+    if fused is None:
+        fused = jax.default_backend() != "cpu"
+
+    if fused:
+        ck = chunk or 128
+
+        def _msm(pts, ss):
+            return pmesh.sharded_msm_fused(
+                pts, ss, mesh=mesh, chunk=ck, sub=sub, axis=axis
+            )
+
+        def _fold(gl, gr, c):
+            return pmesh.sharded_fold_fused(
+                gl, gr, c, mesh=mesh, chunk=ck, sub=sub, axis=axis
+            )
+
+    else:
+        ck = chunk or 8
+
+        def _msm(pts, ss):
+            return pmesh.sharded_msm(pts, ss, mesh=mesh, chunk=ck, axis=axis)
+
+        def _fold(gl, gr, c):
+            return pmesh.sharded_fold(gl, gr, c, mesh=mesh, axis=axis)
+
+    dispatch.register_msm_backend(EdwardsPoint, _msm, min_msm_batch)
+    dispatch.register_fold_backend(EdwardsPoint, _fold, min_msm_batch)
+    return mesh
+
+
 def enable_native(min_batch: int = 8):
     """Install the C++ host tier (Pippenger MSM etc.) as the dispatch backend
     for Ed25519.  Returns False if no toolchain is available."""

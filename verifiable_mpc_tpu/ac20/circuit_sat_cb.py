@@ -17,6 +17,7 @@ from . import compressed_pivot
 from . import knowledge_of_exponent as koe
 from . import nullity
 from . import pivot
+from . import ref_transcript
 from .circuit_sat_r1cs import (  # noqa: F401 (re-exports are part of the API)
     PivotChoice,
     calculate_fgh_polys,
@@ -217,7 +218,14 @@ def circuit_sat_prover(generators, circuit, x, gf, pivot_choice=PivotChoice.comp
     """Protocol 8 prover with pivot dispatch (reference :255-282).
 
     transcript="v2" (compressed pivot only) uses chained round challenges —
-    smaller hashes and a fold-free verifier; NOT reference-parity."""
+    smaller hashes and a fold-free verifier; NOT reference-parity.
+    transcript="ref" keeps the v1 structure but hashes the reference's
+    exact ``str(input_list)`` bytes (ac20/ref_transcript.py)."""
+    if transcript == "ref":
+        with ref_transcript.active():
+            return circuit_sat_prover(
+                generators, circuit, x, gf, pivot_choice, transcript="v1"
+            )
     proof, z_commitment, L, z, gamma = protocol_8_excl_pivot_prover(
         generators, circuit, x, gf
     )
@@ -247,6 +255,11 @@ def circuit_sat_prover(generators, circuit, x, gf, pivot_choice=PivotChoice.comp
 def circuit_sat_verifier(proof, generators, circuit, gf, pivot_choice=PivotChoice.compressed,
                          transcript="v1"):
     """Protocol 8 verifier with pivot dispatch (reference :285-318)."""
+    if transcript == "ref":
+        with ref_transcript.active():
+            return circuit_sat_verifier(
+                proof, generators, circuit, gf, pivot_choice, transcript="v1"
+            )
     verification, L = protocol_8_excl_pivot_verifier(proof, circuit, gf)
 
     if pivot_choice == PivotChoice.compressed:

@@ -21,6 +21,7 @@ from ..groups import is_elliptic
 from ..ops import modvec
 from ..ops.dispatch import fold_generators
 from . import pivot
+from . import ref_transcript
 
 logger_cp = logging.getLogger("compressed_pivot")
 logger_cp.setLevel(logging.INFO)
@@ -242,7 +243,15 @@ def _first_hash(t, A, generators, P, L, y, order):
 
 
 def protocol_5_prover(generators, P, L, y, x, gamma, gf, transcript="v1"):
-    """Prover of Protocol 5 (reference :89-145)."""
+    """Prover of Protocol 5 (reference :89-145).
+
+    transcript="ref": v1 structure, reference string-encoding bytes
+    (ac20/ref_transcript.py)."""
+    if transcript == "ref":
+        with ref_transcript.active():
+            return protocol_5_prover(
+                generators, P, L, y, x, gamma, gf, transcript="v1"
+            )
     g, h, k = generators["g"], generators["h"], generators["k"]
 
     proof = {}
@@ -290,6 +299,11 @@ def protocol_5_prover(generators, P, L, y, x, gamma, gf, transcript="v1"):
 
 def protocol_5_verifier(generators, P, L, y, proof, gf, transcript="v1"):
     """Verifier of Protocol 5 (reference :205-239)."""
+    if transcript == "ref":
+        with ref_transcript.active():
+            return protocol_5_verifier(
+                generators, P, L, y, proof, gf, transcript="v1"
+            )
     g, h, k = generators["g"], generators["h"], generators["k"]
 
     order = gf.order

@@ -19,6 +19,7 @@ import logging
 from .. import rng, serialization
 from ..fields import FiniteFieldElement
 from ..groups import is_elliptic
+from . import ref_transcript
 from ..ops import modvec
 from ..ops.dispatch import multiexp, list_mul  # noqa: F401 (list_mul is API)
 
@@ -176,9 +177,16 @@ def fiat_shamir_hash(input_list, order):
     without materializing the encoding, and is backend-independent.
     Cross-implementation byte parity with the reference was never testable
     here (MPyC is not installable, BASELINE.md); self-consistency is pinned
-    by the golden-transcript tests."""
+    by the golden-transcript tests.
+
+    Opt-in ``transcript="ref"`` on the protocol entry points activates
+    :mod:`.ref_transcript`, which reproduces the reference's string bytes
+    exactly (see that module for the derivation and its assumptions)."""
     h = hashlib.sha256()
-    serialization.hash_into(h, input_list)
+    if ref_transcript.ACTIVE:
+        h.update(ref_transcript.ref_encode(input_list))
+    else:
+        serialization.hash_into(h, input_list)
     return int.from_bytes(h.digest(), "little") % order
 
 
@@ -186,6 +194,13 @@ def fiat_shamir_hash_suffixed(input_list, suffixes, order):
     """[fiat_shamir_hash(input_list + s, order) for s in suffixes], hashing
     the shared prefix once (byte-identical transcripts; the prefix of e.g.
     Protocol 5's c0/c1 pair carries the whole generator vector)."""
+    if ref_transcript.ACTIVE:
+        out = []
+        for data in ref_transcript.ref_encode_suffixed(input_list, suffixes):
+            h = hashlib.sha256()
+            h.update(data)
+            out.append(int.from_bytes(h.digest(), "little") % order)
+        return out
     hashers = serialization.hash_list_with_suffixes(
         hashlib.sha256, input_list, suffixes
     )
@@ -230,8 +245,13 @@ def affine_to_linear(L, y, n):
     return L - constant, y - constant
 
 
-def prove_linear_form_eval(g, h, P, L, y, x, gamma, gf):
-    """Non-interactive Sigma-protocol Pi_s (reference pivot.py:156-181)."""
+def prove_linear_form_eval(g, h, P, L, y, x, gamma, gf, transcript="v1"):
+    """Non-interactive Sigma-protocol Pi_s (reference pivot.py:156-181).
+
+    transcript="ref": reference string-encoding bytes (ref_transcript.py)."""
+    if transcript == "ref":
+        with ref_transcript.active():
+            return prove_linear_form_eval(g, h, P, L, y, x, gamma, gf)
     n = len(x)
     L, y = affine_to_linear(L, y, n)
     r = [gf(rng.randrange(gf.order)) for _ in range(n)]
@@ -251,8 +271,11 @@ def prove_linear_form_eval(g, h, P, L, y, x, gamma, gf):
     return z, phi, c
 
 
-def verify_linear_form_proof(g, h, P, L, y, z, phi, c):
+def verify_linear_form_proof(g, h, P, L, y, z, phi, c, transcript="v1"):
     """Verifier of Pi_s (reference pivot.py:184-205)."""
+    if transcript == "ref":
+        with ref_transcript.active():
+            return verify_linear_form_proof(g, h, P, L, y, z, phi, c)
     n = len(z)
     L, y = affine_to_linear(L, y, n)
     A_check = vector_commitment(z, phi, g, h) * ((P ** c) ** (-1))

@@ -78,6 +78,12 @@ def _form_coeffs_reduced(coeffs, gf):
 
 
 def _engine_ok(g_hat, k, gf):
+    from . import ref_transcript
+
+    if ref_transcript.ACTIVE:
+        # the resident engine emits the default BINARY transcript bytes in
+        # C; the reference-parity string encoding runs the generic loop
+        return False
     if gf.modulus != ELL or not native.REGISTERED:
         return False
     n = len(g_hat)

@@ -28,7 +28,7 @@ commitments (reference pivot.py:139-145), protocol-4 A/B MSMs
 (pynocchio.py:101-200, :228-273).  Curve-generic over the same adapters
 (ED / BN / BN2).
 
-MEASURED VERDICT (probe_bucket.py / probe_bucket_diag.py on the v5e
+MEASURED VERDICT (probes/probe_bucket.py / probes/probe_bucket_diag.py on the v5e
 tunnel): correct but 40x SLOWER than the windowed kernel at n=2^14
 (2.7k vs 109k points/s).  The algorithmic ~1.9x saving in group adds is
 swamped by the data-dependent point permutation: XLA row-gathers of

@@ -107,12 +107,17 @@ def sharded_fold(g_l, g_r, c, mesh=None, axis="shard") -> list:
     """Generator fold with the vectors partitioned across the mesh
     (embarrassingly parallel — no collective needed)."""
     mesh = mesh or default_mesh()
+    ndev = mesh.shape[axis]
     n = len(g_l)
+    pad = (-n) % ndev  # identity-safe: the bit-serial adds are complete
+    if pad:
+        g_l = list(g_l) + [EdwardsPoint.identity] * pad
+        g_r = list(g_r) + [EdwardsPoint.identity] * pad
     dev_l = ced.encode_points(g_l)
     dev_r = ced.encode_points(g_r)
     c_bits = jnp.asarray(msm_mod._scalar_bits([c])[:, 0])
-    out = _sharded_fold_kernel(n, mesh, axis)(dev_l, dev_r, c_bits)
-    return ced.decode_points(out)
+    out = _sharded_fold_kernel(n + pad, mesh, axis)(dev_l, dev_r, c_bits)
+    return ced.decode_points(out)[:n]
 
 
 # ---------------------------------------------------------------------------
