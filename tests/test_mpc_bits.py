@@ -107,3 +107,94 @@ def test_eq_ne_single_party():
         return int(eq), int(ne), int(eq2)
 
     assert mpc.run(prog()) == (1, 1, 0)
+
+
+SMALL_P = 2**61 - 1  # full-width protocols: small prime keeps rounds fast
+
+
+def test_secfld_is_zero_fermat_three_party():
+    """SecFld zero test is the real Fermat protocol (no dealer)."""
+    values = [0, 1, -1, 77, SMALL_P - 5]
+
+    async def party():
+        from verifiable_mpc_tpu.mpc.runtime import _runtime
+
+        rt = _runtime()
+        await rt.start()
+        sec = rt.SecFld(SMALL_P)
+        out = []
+        for v in values:
+            z = rt.is_zero(sec(v))
+            out.append(int(await rt.output(z)))
+        await rt.shutdown()
+        return out
+
+    results = run_multi(party, 3)
+    assert results[0] == results[1] == results[2]
+    assert results[0] == [1 if v % SMALL_P == 0 else 0 for v in values]
+
+
+def test_secfld_to_bits_full_width_three_party():
+    """Full-width to_bits runs the solved-bits construction (no masking
+    headroom, no dealer): bits of the signed representative, two's
+    complement, LSB first."""
+    l = SMALL_P.bit_length()  # kappa_room < 8 -> _to_bits_full path
+    values = [0, 1, 5, SMALL_P - 1, SMALL_P // 2, SMALL_P // 2 + 1, 12345]
+
+    async def party():
+        from verifiable_mpc_tpu.mpc.runtime import _runtime
+
+        rt = _runtime()
+        await rt.start()
+        sec = rt.SecFld(SMALL_P)
+        out = []
+        for v in values:
+            bits = rt.to_bits(sec(v), l=l)
+            opened = await rt.output(bits)
+            out.append([int(b) for b in opened])
+        await rt.shutdown()
+        return out
+
+    results = run_multi(party, 3)
+    assert results[0] == results[1] == results[2]
+    for v, got in zip(values, results[0]):
+        signed = v - SMALL_P if v > SMALL_P // 2 else v
+        assert got == _tc_bits(signed, l), (v, got)
+
+
+def test_secfld_gadgets_three_party():
+    """The != and >= circuit gadgets on SecFld values run end-to-end on
+    real protocols (VERDICT round-2 item 8): witness values recombine to
+    the plain-arithmetic result."""
+    import verifiable_mpc_tpu.ac20.circuit_builder as cb
+
+    async def party():
+        from verifiable_mpc_tpu.mpc.runtime import _runtime
+
+        rt = _runtime()
+        await rt.start()
+        sec = rt.SecFld(SMALL_P)
+        gf = sec.field
+        circuit = cb.Circuit()
+        a = cb.CircuitVar(sec(7), circuit, "a")
+        b = cb.CircuitVar(sec(0), circuit, "b")
+        ne = a != b  # check_not_zero -> is_zero (Fermat) + reciprocal
+        ne.label_output("ne")
+        ne2 = b != b * 0
+        ne2.label_output("ne2")
+        # >= via explicit small-l bit decomposition on SecFld shares:
+        # statistical path (headroom OK for l=16 under a 61-bit prime)
+        c = cb.CircuitVar(sec(25), circuit, "c")
+        ge = c.check_bit_decomp_positive(16)
+        ge.label_output("ge")
+        outs = []
+        for v in [ne.value, ne2.value, ge.value]:
+            outs.append(int(await rt.output(v)))
+        await rt.shutdown()
+        return outs
+
+    results = run_multi(party, 3)
+    assert results[0] == results[1] == results[2]
+    assert results[0][0] == 1  # 7 != 0
+    assert results[0][1] == 0  # 0 != 0 is false
+    assert results[0][2] == 1  # 25 has a positive 16-bit decomposition

@@ -21,11 +21,12 @@ pending task; communication drains when the program awaits ``gather`` /
 ``output`` / ``schur_prod`` — mirroring MPyC so the reference's synchronous
 call sites (e.g. circuit_builder gadgets) work unchanged.
 
-Comparison-style gadgets (``to_bits``, zero test) are provided by the hub as
-an *ideal functionality* (trusted-dealer simulation): shares go to the hub,
-which recombines, evaluates the predicate and deals fresh shares.  This is a
-faithful ideal-world simulation for the in-process runtime; a full
-bit-decomposition protocol can replace it without API changes.
+Comparison-style gadgets (``to_bits``, zero test) run REAL protocols for
+every secure type: statistically-masked bit decomposition when the field
+has headroom (``_to_bits_protocol``), the Damgard-style solved-bits
+construction at full field width (``_to_bits_full``), and a Fermat zero
+test for SecFld (``is_zero``).  The trusted-dealer ideal functionality of
+earlier rounds is gone.
 """
 
 from __future__ import annotations
@@ -46,12 +47,11 @@ _ctx_runtime: contextvars.ContextVar = contextvars.ContextVar("vmpc_runtime")
 
 
 class Hub:
-    """In-process message router + ideal-functionality dealer."""
+    """In-process message router."""
 
     def __init__(self, m):
         self.m = m
         self._boxes = {}  # (dst, src, op_id) -> Future
-        self._ideal = {}  # op_id -> {"shares": {pid: payload}, "fut": Future}
 
     def _box(self, dst, src, op_id):
         key = (dst, src, op_id)
@@ -70,42 +70,6 @@ class Hub:
         value = await fut
         del self._boxes[(dst, src, op_id)]
         return value
-
-    async def ideal_call(self, pid, op_id, payload, fn, field):
-        """Trusted-dealer functionality: collect every party's payload,
-        apply fn to the recombined secrets, deal fresh shares (seeded
-        deterministically per op so every party computes the same dealing)."""
-        entry = self._ideal.get(op_id)
-        if entry is None:
-            entry = {
-                "shares": {},
-                "fut": asyncio.get_running_loop().create_future(),
-            }
-            self._ideal[op_id] = entry
-        entry["shares"][pid] = payload
-        if len(entry["shares"]) == self.m and not entry["fut"].done():
-            per_party = [entry["shares"][i] for i in range(self.m)]
-            # payloads are lists of share values; recombine element-wise
-            secrets = []
-            for j in range(len(per_party[0])):
-                secrets.append(
-                    shamir.recombine_at_zero(
-                        field, [per_party[i][j] for i in range(self.m)]
-                    )
-                )
-            results = fn(secrets)
-            seed = int.from_bytes(
-                hashlib.sha256(repr(("ideal", op_id)).encode()).digest(), "big"
-            )
-            rnd = _random.Random(seed)
-            t = (self.m - 1) // 2
-            dealt = [
-                shamir.share(field, int(r), self.m, t, rnd) for r in results
-            ]
-            entry["fut"].set_result(dealt)
-        dealt = await entry["fut"]
-        self._ideal.pop(op_id, None)
-        return [field(row[pid]) for row in dealt]
 
 
 class SecureNumber:
@@ -489,27 +453,148 @@ class Runtime:
         out[l - 1] = one - out[l - 1]  # undo the 2^(l-1) shift (flip MSB)
         return out
 
+    # -- full-field-width protocols (no statistical masking headroom) ------
+    # These replace the hub's ideal-functionality dealer that earlier
+    # rounds used for SecFld: everything below is built from the real
+    # primitives only (random shared bits, GRR products, openings).
+
+    async def _pow_public_exp(self, base, av, e: int):
+        """Share ** public exponent, square-and-multiply (one GRR product
+        per step, sequential rounds)."""
+        field = type(av)
+        result = None
+        acc = av
+        i = 0
+        while e:
+            if e & 1:
+                result = (
+                    acc
+                    if result is None
+                    else (
+                        await self._schur_vec((base, "m", i), [result], [acc])
+                    )[0]
+                )
+            e >>= 1
+            if e:
+                acc = (await self._schur_vec((base, "s", i), [acc], [acc]))[0]
+            i += 1
+        return result if result is not None else field(1)
+
+    async def _bits_lt_public(self, base, bits, K: int, field):
+        """[sum bits_i 2^i < K] as a secret bit share (bits LSB-first).
+
+        Ripple borrow of (K-1) - b with K public: one GRR product per bit
+        (b_i AND borrow for K_i=1 slots, b_i OR borrow for K_i=0)."""
+        Km1 = K - 1
+        if Km1 < 0:
+            return field(0)
+        if (Km1 >> len(bits)) > 0:
+            return field(1)  # K-1 has a set bit above every shared bit
+        borrow = field(0)
+        for i, b in enumerate(bits):
+            prod = (await self._schur_vec((base, "bw", i), [b], [borrow]))[0]
+            if (Km1 >> i) & 1:
+                borrow = prod  # borrow iff b_i AND borrow_in
+            else:
+                borrow = b + borrow - prod  # borrow iff b_i OR borrow_in
+        return field(1) - borrow
+
+    async def _solved_random_bits(self, base, field, k: int):
+        """k shared bits of a uniform secret in [0, modulus): random bits
+        plus rejection on the OPENED comparison bit [r < p] (Damgard et al.
+        '06 solved-bits; the rejection bit is public by design and leaks
+        nothing about the surviving r)."""
+        attempt = 0
+        while True:
+            b = await self._random_bit_shares((base, "b", attempt), field, k)
+            lt = await self._bits_lt_public(
+                (base, "lt", attempt), b, field.modulus, field
+            )
+            ok = (await self._open_vec((base, "ok", attempt), [lt]))[0]
+            if ok.value == 1:
+                return b
+            attempt += 1
+
+    async def _bitadd_public(self, base, C: int, bits, field, out_len: int):
+        """Shared bits of (C + sum bits_i 2^i) mod 2**out_len, C public and
+        0 <= C < 2**out_len: ripple carry, one GRR product per bit."""
+        one = field(1)
+        carry = field(0)
+        out = []
+        for i in range(out_len):
+            b = bits[i] if i < len(bits) else field(0)
+            prod = (await self._schur_vec((base, "c", i), [b], [carry]))[0]
+            if (C >> i) & 1:
+                out.append(one - (b + carry - prod - prod))  # 1 XOR b XOR c
+                carry = b + carry - prod  # OR
+            else:
+                out.append(b + carry - prod - prod)  # b XOR c
+                carry = prod  # AND
+        return out
+
+    async def _to_bits_full(self, base, av, field, l: int):
+        """Real bit decomposition without masking headroom (SecFld /
+        explicit l near the field width) — the construction the dealer
+        previously simulated:
+
+        1. solved random bits r in [0, p) (rejection-sampled);
+        2. open c = a - r (uniform: leaks nothing);
+        3. d = c + r over the integers via a public+shared addition chain;
+           q = [d >= p]; v_bits = q ? bits(c - p + r) : bits(c + r) — the
+           reduced candidate is ANOTHER public+shared chain, merged with
+           one batched product round;
+        4. convert to the signed-representative two's complement the
+           statistical path emits: s = [v > p//2], low l bits of v - s*p
+           selected the same way."""
+        k = field.modulus.bit_length()
+        p = field.modulus
+        r_bits = await self._solved_random_bits((base, "rb"), field, k)
+        r_acc = field(0)
+        for i, bi in enumerate(r_bits):
+            r_acc = r_acc + bi * field(1 << i)
+        c = (await self._open_vec((base, "mask"), [av - r_acc]))[0]
+        cint = c.value % p
+        # v = (c + r) mod p, with c + r < 2p < 2^(k+1)
+        d0 = await self._bitadd_public((base, "d0"), cint, r_bits, field, k + 1)
+        q = field(1) - await self._bits_lt_public((base, "q"), d0, p, field)
+        # candidate with the modular reduction applied: c - p + r >= 0 when
+        # q = 1; two's complement constant keeps the chain non-negative
+        d1 = await self._bitadd_public(
+            (base, "d1"), (cint - p) % (1 << (k + 1)), r_bits, field, k + 1
+        )
+        diffs = [d1[i] - d0[i] for i in range(k)]
+        sel = await self._schur_vec((base, "sel"), [q] * k, diffs)
+        v_bits = [d0[i] + sel[i] for i in range(k)]  # bits of v in [0, p)
+        # signed representative: subtract p iff v > p//2, then mask to l
+        s = field(1) - await self._bits_lt_public(
+            (base, "s"), v_bits, p // 2 + 1, field
+        )
+        e0 = v_bits[:l]
+        e1 = await self._bitadd_public(
+            (base, "e1"), (-p) % (1 << l), v_bits[:l], field, l
+        )
+        diffs = [e1[i] - e0[i] for i in range(l)]
+        sel = await self._schur_vec((base, "sel2"), [s] * l, diffs)
+        return [e0[i] + sel[i] for i in range(l)]
+
     def is_zero(self, a: SecureNumber):
         """Secure zero test with secret output.
 
-        SecInt types run the real protocol — bit-decompose and take
-        1 - OR(bits) with a log-depth product tree.  SecFld types (full
-        field width, no statistical masking headroom) keep the hub's
-        ideal-functionality dealer."""
+        SecInt types bit-decompose and take 1 - OR(bits) with a log-depth
+        product tree.  SecFld types (full field width, no statistical
+        masking headroom) use the Fermat test 1 - a^(p-1): real GRR
+        products only, ~1.5 * log2(p) sequential rounds — fine for the
+        in-process hub, a documented cost over TCP."""
         base = ("iszero", self._next_pc())
         cls = type(a)
 
         async def coro():
             av = await a._value()
             if cls.bit_length is None:
-                res = await self.hub.ideal_call(
-                    self.pid,
-                    base,
-                    [av],
-                    lambda secrets: [1 if secrets[0].value == 0 else 0],
-                    cls.field,
+                pw = await self._pow_public_exp(
+                    (base, "fermat"), av, cls.field.modulus - 1
                 )
-                return res[0]
+                return cls.field(1) - pw
             # l+1 bits: a difference of two signed l-bit values occupies
             # l+1 bits, and x == 0 iff all l+1 two's-complement bits vanish
             l = cls.bit_length + 1
@@ -533,11 +618,15 @@ class Runtime:
         representative in two's complement (parity with MPyC's to_bits usage
         in the gadgets, reference circuit_builder.py:320-326).
 
-        SecInt types run the real masked-subtraction protocol
-        (:meth:`_to_bits_protocol`); explicit-l calls on SecFld fall back to
-        the hub's ideal-functionality dealer."""
+        Calls with statistical masking headroom run
+        :meth:`_to_bits_protocol`; full-width calls (SecFld / explicit l
+        near the field size) run the solved-bits construction
+        (:meth:`_to_bits_full`) — both are real protocols; the
+        ideal-functionality dealer is gone."""
         cls = type(a)
         l = l if l is not None else cls.bit_length
+        if l is None:
+            l = cls.field.modulus.bit_length()
         base = ("tobits", self._next_pc())
 
         async def coro():
@@ -545,13 +634,7 @@ class Runtime:
             kappa_room = cls.field.modulus.bit_length() - l - 2
             if kappa_room >= 8:
                 return await self._to_bits_protocol(base, av, cls.field, l)
-
-            def fn(secrets):
-                v = int(secrets[0])  # signed representative
-                masked = v & ((1 << l) - 1)
-                return [(masked >> i) & 1 for i in range(l)]
-
-            return await self.hub.ideal_call(self.pid, base, [av], fn, cls.field)
+            return await self._to_bits_full(base, av, cls.field, l)
 
         task = self._task(coro())
 

@@ -306,34 +306,6 @@ class TcpHub:
         del self._boxes[(src, self._key(op_id))]
         return value
 
-    async def ideal_call(self, pid, op_id, payload, fn, field):
-        """Dealer-based ideal functionality (party 0 is the dealer)."""
-        if self.m == 1:
-            results = fn(payload)
-            return [field(int(r)) for r in results]
-        up = ("idealup", op_id)
-        down = ("idealdown", op_id)
-        if pid == 0:
-            collected = [payload]
-            for src in range(1, self.m):
-                collected.append(await self.recv(0, src, up))
-            secrets = []
-            for j in range(len(payload)):
-                secrets.append(
-                    shamir.recombine_at_zero(
-                        field, [collected[i][j] for i in range(self.m)]
-                    )
-                )
-            results = fn(secrets)
-            t = (self.m - 1) // 2
-            dealt = [shamir.share(field, int(r), self.m, t) for r in results]
-            for dst in range(1, self.m):
-                self.send(0, dst, down, [row[dst] for row in dealt])
-            return [field(row[0]) for row in dealt]
-        self.send(pid, 0, up, payload)
-        rows = await self.recv(pid, 0, down)
-        return [field(v) for v in rows]
-
     async def close(self):
         for t in self._reader_tasks.values():
             t.cancel()
