@@ -107,6 +107,45 @@ def _leaves(verification):
     return out
 
 
+def _run_tcp(args, pivot, group_choice):
+    """Real multi-process topology (the reference's MPyC -M/-I model):
+    each party is an OS process, messages ride the TCP plane
+    (mpc.transport).  With -I this process IS party I; without -I the
+    m party processes are spawned automatically."""
+    import subprocess
+
+    from verifiable_mpc_tpu.mpc.transport import run_tcp_party
+
+    if args.I is not None:
+        rc = run_tcp_party(
+            lambda: _tcp_party_main(pivot, group_choice, args.n),
+            args.I,
+            args.M,
+            base_port=args.port,
+        )
+        sys.exit(rc)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)]
+            + [a for a in sys.argv[1:] if not a.startswith("-I")]
+            + [f"-I{i}"],
+        )
+        for i in range(args.M)
+    ]
+    rcs = [p.wait(timeout=900) for p in procs]
+    if any(rcs):
+        sys.exit(f"party processes failed: rcs={rcs}")
+    print(f"{args.M}-party proof over TCP completed and verified.")
+
+
+async def _tcp_party_main(pivot, group_choice, n):
+    verification = await main(pivot, group_choice, n, verbose=False)
+    ok = all(_leaves(verification))
+    print("PARTY_VERIFIED", mpc.pid, ok, flush=True)
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("-n", type=int, default=3, help="roughly number of multiplications")
@@ -117,6 +156,13 @@ if __name__ == "__main__":
                         help="use basic pivot (not the compressed pivot)")
     parser.add_argument("--koe", action="store_true",
                         help="use pivot based on Knowledge-of-Exponent assumption and BN256 curves")
+    parser.add_argument("--tcp", action="store_true",
+                        help="parties are OS processes over the TCP plane "
+                        "(default: in-process SPMD hub)")
+    parser.add_argument("-I", type=int, default=None,
+                        help="with --tcp: this process runs party I")
+    parser.add_argument("--port", type=int, default=23365,
+                        help="with --tcp: base port of the party mesh")
     args = parser.parse_args()
     if args.elliptic:
         GROUP = "Elliptic"
@@ -125,7 +171,9 @@ if __name__ == "__main__":
     elif args.koe:
         PIVOT = cs.PivotChoice.koe
 
-    if args.M <= 1:
+    if args.tcp and args.M > 1:
+        _run_tcp(args, PIVOT, GROUP)
+    elif args.M <= 1:
         mpc.run(main(PIVOT, GROUP, args.n))
     else:
         run_multi(lambda: main(PIVOT, GROUP, args.n, verbose=False), args.M)

@@ -128,11 +128,46 @@ def qeval(x, y):
     return verifications
 
 
+async def _tcp_party_main():
+    verifications = await main(verbose=False)
+    ok = all(verifications.values())
+    print("PARTY_VERIFIED", mpc.pid, ok, flush=True)
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("-M", type=int, default=1, help="number of MPC parties (in-process)")
+    parser.add_argument("--tcp", action="store_true",
+                        help="parties are OS processes over the TCP plane")
+    parser.add_argument("-I", type=int, default=None,
+                        help="with --tcp: this process runs party I")
+    parser.add_argument("--port", type=int, default=23465,
+                        help="with --tcp: base port of the party mesh")
     args = parser.parse_args()
-    if args.M <= 1:
+    if args.tcp and args.M > 1:
+        from verifiable_mpc_tpu.mpc.transport import run_tcp_party
+
+        if args.I is not None:
+            sys.exit(
+                run_tcp_party(_tcp_party_main, args.I, args.M,
+                              base_port=args.port)
+            )
+        import subprocess
+
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)]
+                + [a for a in sys.argv[1:] if not a.startswith("-I")]
+                + [f"-I{i}"],
+            )
+            for i in range(args.M)
+        ]
+        rcs = [p.wait(timeout=900) for p in procs]
+        if any(rcs):
+            sys.exit(f"party processes failed: rcs={rcs}")
+        print(f"{args.M}-party Trinocchio proof over TCP completed and verified.")
+    elif args.M <= 1:
         mpc.run(main())
     else:
         run_multi(lambda: main(verbose=False), args.M)

@@ -1,0 +1,41 @@
+"""Flagship protocols over the REAL TCP party plane: 3 OS processes each
+run the COMPLETE prover (not the toy program of tcp_party_main.py) and
+every party's verifier must accept — the reference's MPyC process topology
+(SURVEY.md §5.8, reference demos run with -M3 over MPyC's TCP runtime).
+"""
+
+import os
+import subprocess
+import sys
+
+DEMOS = os.path.join(os.path.dirname(__file__), "..", "demos")
+
+
+def _run_demo(script, extra, port):
+    r = subprocess.run(
+        [sys.executable, os.path.join(DEMOS, script), "-M3", "--tcp",
+         "--port", str(port)] + extra,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    verified = [
+        line for line in r.stdout.splitlines() if "PARTY_VERIFIED" in line
+    ]
+    assert len(verified) == 3, r.stdout[-2000:]
+    assert all("True" in line for line in verified), verified
+
+
+def test_ac20_full_prove_three_processes_over_tcp():
+    """demo_zkp_mpc_ac20 -M3 --tcp --elliptic: full circuit_sat_prover
+    (compressed pivot, Ed25519, gadgets incl. != and >=) across 3 OS
+    processes; each party verifies the recombined public proof."""
+    _run_demo("demo_zkp_mpc_ac20.py", ["--elliptic", "-n", "2"], 24365)
+
+
+def test_trinocchio_three_processes_over_tcp():
+    """demo_zkp_trinocchio -M3 --tcp: per-party Pinocchio proofs on Shamir
+    shares, exponent-space Lagrange recombination, pairing verification —
+    across 3 OS processes."""
+    _run_demo("demo_zkp_trinocchio.py", [], 24465)
