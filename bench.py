@@ -178,18 +178,39 @@ def main():
     # fully-materialized runs on distinct inputs, then time runs that fetch
     # the (tiny) result to host — an honest end-to-end per-MSM latency.
     reps = 3
+    pipe_reps = 4
     variants = [
         jnp.asarray(
             mp._scalar_digits_signed([(s + i + 1) % ELL for s in scalars])
         )
-        for i in range(reps + 2)
+        for i in range(reps + pipe_reps + 2)
     ]
     for i in range(2):
         _ = np.asarray(kern(dev_pts, variants[i]))
     t0 = time.perf_counter()
     for i in range(reps):
         _ = np.asarray(kern(dev_pts, variants[2 + i]))
-    t_kernel = (time.perf_counter() - t0) / reps
+    t_latency = (time.perf_counter() - t0) / reps
+    print(
+        f"TPU MSM n=2^{log2n}: {t_latency:.3f}s/msm round-trip latency",
+        file=sys.stderr,
+    )
+
+    # diagnostic: dispatch every rep back-to-back, materialize at the end.
+    # Measured on the tunnel backend this is SLOWER than the serialized
+    # loop (queued launches serialize server-side rather than overlapping
+    # the round trip), so the per-MSM latency above stays the headline.
+    t0 = time.perf_counter()
+    outs = [kern(dev_pts, variants[2 + reps + i]) for i in range(pipe_reps)]
+    for o in outs:
+        for a in o:
+            np.asarray(a)
+    t_pipe = (time.perf_counter() - t0) / pipe_reps
+    print(
+        f"TPU MSM n=2^{log2n}: {t_pipe:.3f}s/msm queued-dispatch diagnostic",
+        file=sys.stderr,
+    )
+    t_kernel = t_latency
     tpu_rate = n / t_kernel
     print(
         f"TPU MSM n=2^{log2n}: {t_kernel:.3f}s/msm -> {tpu_rate:.0f} points/s",
@@ -208,6 +229,8 @@ def main():
         "vs_baseline": round(tpu_rate / host_rate, 2),
     }
     record["log2_n"] = log2n  # rates are size-dependent: always recorded
+    record["latency_s_per_msm"] = round(t_latency, 4)
+    record["queued_dispatch_s_per_msm"] = round(t_pipe, 4)
     _record_emitted.set()
     print(json.dumps(record), flush=True)
 

@@ -35,3 +35,23 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", f"/root/.cache/jax_vmpc_{_cpu_tag()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run the multi-device shard_map modules FIRST.
+
+    Root cause of the round-2 full-suite crashes: XLA:CPU's LLVM JIT
+    segfaults while COMPILING the four-step NTT shard_map program
+    (faulthandler: Fatal Python error inside
+    jax/_src/compiler.py backend_compile_and_load, NOT in the persistent
+    cache — the round-2 cache fixtures aimed at the wrong layer) once
+    several hundred compilations have accumulated in the process.  The
+    same tests pass standalone, i.e. when their compiles happen in a
+    near-fresh process.  Ordering them first reproduces that known-good
+    state inside the single suite run; the later modules compile only
+    single-device programs, which have always been position-independent.
+    """
+    early = ("test_ntt_mesh", "test_parallel", "test_multichip_prover")
+    items.sort(
+        key=lambda it: 0 if any(e in it.nodeid for e in early) else 1
+    )

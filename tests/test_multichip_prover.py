@@ -61,7 +61,9 @@ def _setup():
     circuit = cb.Circuit()
     x = cb.CircuitVar(gf(3), circuit, "x")
     acc = x
-    for _ in range(7):
+    # m=4 muls -> z-vector 15, g_hat 16: small enough that the per-mesh
+    # XLA compiles (persistent cache off, see fixture) stay in CI budget
+    for _ in range(3):
         acc = acc * acc + 1
     (acc * x).label_output("out")
     xs = circuit.initial_inputs()
@@ -76,12 +78,27 @@ def _setup():
     return group, gf, circuit, xs, generators
 
 
+def _canon(obj):
+    """Canonical (normalized) representatives: backends legitimately
+    compute different projective coordinates of the SAME group elements
+    (serialization round-trips exact coordinates by design — transcripts
+    hash reprs).  Fiat-Shamir hash sites normalize, so the challenges and
+    scalars are byte-identical; points are compared normalized."""
+    if hasattr(obj, "normalize"):
+        return obj.normalize()
+    if isinstance(obj, list):
+        return [_canon(v) for v in obj]
+    if isinstance(obj, dict):
+        return {k: _canon(v) for k, v in obj.items()}
+    return obj
+
+
 def _prove_bytes(circuit, xs, gf, generators) -> bytes:
     with rng.deterministic(1234):
         proof = cs.circuit_sat_prover(
             generators, circuit, xs, gf, cs.PivotChoice.compressed
         )
-    return serialization.dumps(proof)
+    return serialization.dumps(_canon(proof))
 
 
 def test_full_prove_identical_on_1_and_8_device_mesh():
@@ -90,10 +107,17 @@ def test_full_prove_identical_on_1_and_8_device_mesh():
 
     host_bytes = _prove_bytes(circuit, xs, gf, generators)
 
-    enable_multichip(pmesh.default_mesh(1), min_msm_batch=16, fused=False)
+    # chunk chosen so ndev*chunk = 32 on BOTH meshes: every protocol MSM
+    # (sizes 9..16) pads to the same 32-point shape -> ONE XLA compile per
+    # (kernel, mesh) instead of one per size
+    enable_multichip(
+        pmesh.default_mesh(1), min_msm_batch=8, fused=False, chunk=32
+    )
     one_dev_bytes = _prove_bytes(circuit, xs, gf, generators)
 
-    enable_multichip(pmesh.default_mesh(8), min_msm_batch=16, fused=False)
+    enable_multichip(
+        pmesh.default_mesh(8), min_msm_batch=8, fused=False, chunk=4
+    )
     eight_dev_bytes = _prove_bytes(circuit, xs, gf, generators)
 
     assert host_bytes == one_dev_bytes

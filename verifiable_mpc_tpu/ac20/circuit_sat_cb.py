@@ -98,6 +98,14 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
     else:
         logger_cs2.debug("Calculate [Z].")
         z_commitment = pivot.vector_commitment(z, gamma, g, h)
+        if hasattr(z_commitment, "normalize"):
+            # canonical representative: this value feeds the first
+            # Fiat-Shamir hash RAW (reference :107 hashes it unnormalized),
+            # so without this, backends computing different projective
+            # coordinates of the SAME commitment would derive different
+            # challenges (the fold path normalizes for the same reason,
+            # ops/dispatch.fold_generators)
+            z_commitment = z_commitment.normalize()
         proof["z_commitment"] = z_commitment
 
     input_list = [

@@ -403,6 +403,10 @@ def protocol_8_excl_pivot_prover(generators, code, x, gf, use_koe=False):
     else:
         logger_cs.debug("Calculate [Z].")
         z_commitment = pivot.vector_commitment(z, gamma, g, h)
+        if hasattr(z_commitment, "normalize"):
+            # canonical representative before the raw first-hash (see the
+            # same guard in circuit_sat_cb.protocol_8_excl_pivot_prover)
+            z_commitment = z_commitment.normalize()
         proof["z_commitment"] = z_commitment
 
     input_list = [z_commitment, code, "First hash circuit satisfiability protocol"]
