@@ -58,3 +58,37 @@ def test_r1cs_eval_form_roundtrip():
         proof, gens, padded_code, gf, cs.PivotChoice.compressed
     )
     assert _ok(v), v
+
+
+def test_fg_form_native_equals_python(monkeypatch):
+    """The C CSR accumulation of calculate_fg_form is value-identical to
+    the Python sparse loop at m >= 64 (coeffs, constant, and the
+    serialized-hash view that feeds Fiat-Shamir)."""
+    import random
+
+    from verifiable_mpc_tpu import serialization
+
+    rng = random.Random(23)
+    circuit = cb.Circuit()
+    x = cb.CircuitVar(gf(3), circuit, "x")
+    y = cb.CircuitVar(gf(5), circuit, "y")
+    acc = x
+    for i in range(70):  # mix adds/scalar-muls so forms have real fan-in
+        acc = acc * (y + i) + x * 2 + 1
+    (acc * y).label_output("out")
+    m = circuit.mul_ct
+    assert m >= 64
+    challenge = rng.randrange(1, gf.order)
+
+    for wire in (0, 1):
+        fast = cb.calculate_fg_form(circuit, wire, challenge, gf)
+        monkeypatch.setattr(cb, "_fg_form_native", lambda *a: None)
+        slow = cb.calculate_fg_form(circuit, wire, challenge, gf)
+        monkeypatch.undo()
+        assert len(fast.coeffs) == len(slow.coeffs)
+        assert all(
+            int(gf(a)) == int(gf(b))
+            for a, b in zip(fast.coeffs, slow.coeffs)
+        )
+        assert int(gf(fast.constant)) == int(gf(slow.constant))
+        assert serialization.dumps(fast) == serialization.dumps(slow)

@@ -115,6 +115,10 @@ def load():
         u64p, u64p, u64p, u64p,
         u64p, u64p, u64p,
     ]
+    lib.vmpc_modvec_csr_combine.argtypes = [
+        u64p, ctypes.c_uint64, u64p, u64p, u64p, u64p,
+        ctypes.c_uint64, ctypes.c_uint64, u64p,
+    ]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.vmpc_ed_batch_normalize.argtypes = [u64p, ctypes.c_uint64]
     lib.vmpc_ed_hash_encode.argtypes = [u64p, ctypes.c_uint64, u8p, u64p]
@@ -471,6 +475,21 @@ def modvec_mul_triples(p: int, n_in: int, m: int, lptr, lidx, lcoef, lconst,
         _u64p(vals), _u64p(alpha), _u64p(beta),
     )
     return alpha, beta
+
+
+def modvec_csr_combine(p: int, m: int, ptr, idx, coef, w,
+                       thresh: int, shift: int, out_len: int):
+    """Lagrange-weighted sparse-form accumulation into a zeroed [out_len,4]
+    array: out[map(idx[e])] += w[row] * coef[e] mod p with map(j) = j if
+    j < thresh else j + shift."""
+    lib = load()
+    out = np.zeros((out_len, 4), dtype=np.uint64)
+    lib.vmpc_modvec_csr_combine(
+        _u64p(_modvec_ctx(p)), m,
+        _u64p(ptr), _u64p(idx), _u64p(coef), _u64p(w),
+        thresh, shift, _u64p(out),
+    )
+    return out
 
 
 def mod_dot(a, b, p: int) -> int:

@@ -323,6 +323,30 @@ void vmpc_modvec_mul_triples(const u64 *ctx, u64 n_in, u64 m,
   }
 }
 
+// Lagrange-weighted sparse-form accumulation (ac20 calculate_fg_form):
+// for each CSR row i and entry e, out[map(idx[e])] += w[i] * coef[e] mod p
+// with map(j) = j < thresh ? j : j + shift (the z-layout re-index of
+// convert_to_ac20: inputs keep their slot, mul outputs skip the f(0)/g(0)/
+// h(0) slots).  out has out_len 4-limb rows, caller-zeroed.  Scatter
+// conflicts keep this sequential; m*avg_nnz is ~200k at 2^16 gates.
+void vmpc_modvec_csr_combine(const u64 *ctx, u64 m, const u64 *ptr,
+                             const u64 *idx, const u64 *coef, const u64 *w,
+                             u64 thresh, u64 shift, u64 *out) {
+  for (u64 i = 0; i < m; i++) {
+    for (u64 e = ptr[i]; e < ptr[i + 1]; e++) {
+      u64 prod[8], red[4];
+      mul_4x4(coef + 4 * e, w + 4 * i, prod);
+      Acc512 acc;
+      acc.init();
+      acc.add(prod);
+      acc.reduce(ctx, red);
+      u64 j = idx[e];
+      if (j >= thresh) j += shift;
+      addmod(ctx, out + 4 * j, red, out + 4 * j);
+    }
+  }
+}
+
 // out[j] = sum_i w[i] * rows[i*n + j] mod p   (s rows of length n)
 void vmpc_modvec_weighted_sum(const u64 *ctx, const u64 *w, const u64 *rows,
                               u64 s, u64 n, u64 *out) {
