@@ -25,19 +25,6 @@ import verifiable_mpc_tpu.ac20.circuit_sat_cb as cs
 prng = random.Random(7)
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """Same guard as test_parallel.py: XLA:CPU executable (de)serialization
-    has crashed on multi-device shard_map programs; compile fresh."""
-    from jax._src import compilation_cache as _cc
-
-    jax.config.update("jax_enable_compilation_cache", False)
-    _cc.reset_cache()
-    yield
-    jax.config.update("jax_enable_compilation_cache", True)
-    _cc.reset_cache()
-
-
 @pytest.fixture(autouse=True)
 def _restore_dispatch():
     """enable_multichip mutates process-global backend registries."""

@@ -15,22 +15,6 @@ from verifiable_mpc_tpu.parallel.ntt_mesh import (
 rng = random.Random(61)
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """XLA:CPU executable (de)serialization segfaults on this module's
-    multi-device shard_map/pjit programs (same bug as test_parallel.py:
-    crash inside _cache_read/deserialize_executable on the CPU backend).
-    Compile fresh instead of persisting them."""
-    import jax as _jax
-    from jax._src import compilation_cache as _cc
-
-    _jax.config.update("jax_enable_compilation_cache", False)
-    _cc.reset_cache()  # is_cache_used() latches at first compile: reset it
-    yield
-    _jax.config.update("jax_enable_compilation_cache", True)
-    _cc.reset_cache()
-
-
 def schoolbook(a, b, p):
     o = [0] * (len(a) + len(b) - 1)
     for i, ai in enumerate(a):

@@ -13,22 +13,6 @@ from verifiable_mpc_tpu.parallel import mesh as pmesh
 rng = random.Random(11)
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """XLA:CPU executable (de)serialization segfaults on this module's
-    8-device shard_map programs (observed twice: crash inside
-    executable.serialize() on write and deserialize_executable() on read,
-    jaxlib CPU backend).  Compile fresh instead of persisting them."""
-    import jax
-    from jax._src import compilation_cache as _cc
-
-    jax.config.update("jax_enable_compilation_cache", False)
-    _cc.reset_cache()  # is_cache_used() latches at first compile: reset it
-    yield
-    jax.config.update("jax_enable_compilation_cache", True)
-    _cc.reset_cache()
-
-
 @pytest.fixture(scope="module")
 def mesh8():
     assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
