@@ -647,17 +647,17 @@ def calculate_fg_form(circuit, wire, challenge, gf):
     (reference circuit_builder.py:517-530).
 
     Accumulates the Lagrange-weighted sparse wire forms directly into the
-    z-layout — O(total nonzeros), not O(m^2).  Above the native threshold
-    the whole accumulation runs in C over the memoized CSR arrays of the
-    triples pass (value-identical: same weights, same index map)."""
+    z-layout — O(total nonzeros), not O(m^2).  The weights are plain
+    reduced ints and the coefficients small ints, so the accumulated
+    entries are UNREDUCED Python ints — exactly what the reference
+    produces (its lagrange also returns ``.value`` ints,
+    ref recombine.py:29) and what the transcripts hash; a reduced-field
+    rewrite would change the proof bytes.  The Lagrange row itself comes
+    from the C tier (recombine._lagrange_row_consecutive)."""
     n_in = circuit.input_ct
     m = circuit.mul_ct
     width = n_in + 3 + 2 * m
     lagr_vect = lagrange(gf, range(m + 1), challenge)
-
-    fast = _fg_form_native(circuit, wire, lagr_vect, gf, n_in, m, width)
-    if fast is not None:
-        return fast
 
     dense = [0] * width
     constant = 0
@@ -671,38 +671,6 @@ def calculate_fg_form(circuit, wire, challenge, gf):
             z_idx = idx if idx < n_in else idx + 3
             dense[z_idx] = dense[z_idx] + coeff * l_j
         constant = constant + sf.constant * l_j
-    return AffineForm(dense, constant)
-
-
-def _fg_form_native(circuit, wire, lagr_vect, gf, n_in, m, width):
-    """C fast path for calculate_fg_form; None if the CSR guards fail."""
-    if m < 64:
-        return None
-    from .. import native
-    from ..ops import modvec as _mv
-
-    if not _mv._native_ok(gf):
-        return None
-    mul_gs = circuit.mul_gates()
-    left_forms = [construct_sparse_form(g, circuit, wire=0) for g in mul_gs]
-    right_forms = [construct_sparse_form(g, circuit, wire=1) for g in mul_gs]
-    csr = _triples_csr(circuit, left_forms, right_forms, gf)
-    if csr is None:
-        return None
-    lptr, lidx, lcoef, lconst, rptr, ridx, rcoef, rconst = csr
-    ptr, idx, coef, const = (
-        (lptr, lidx, lcoef, lconst) if wire == 0 else (rptr, ridx, rcoef, rconst)
-    )
-    w = native.vals_to_arr(lagr_vect[1:], gf, gf.modulus, 0)
-    if w is None:
-        return None
-    out = native.modvec_csr_combine(
-        gf.modulus, m, ptr, idx, coef, w, n_in, 3, width
-    )
-    dense = native.arr_to_vals(out, gf)
-    # the f(0)/g(0) slot carries weight lagr_vect[0] (reference :523)
-    dense[n_in + wire] = dense[n_in + wire] + lagr_vect[0]
-    constant = gf(native.mod_dot_arr(const, w, gf.modulus))
     return AffineForm(dense, constant)
 
 

@@ -265,9 +265,7 @@ def protocol_5_prover(generators, P, L, y, x, gamma, gf, transcript="v1"):
     r = rng.randvector(n, order)
     rho = rng.randrange(order)
     logger_cp.debug("Calculate t, A.")
-    t = modvec.dot(L.coeffs, r, gf)
-    if t is None:
-        t = L(r)
+    t = pivot.form_eval(L, r, gf)
     A = pivot.vector_commitment(r, rho, g, h)
     proof["t"] = t
     proof["A"] = A
@@ -283,12 +281,8 @@ def protocol_5_prover(generators, P, L, y, x, gamma, gf, transcript="v1"):
     logger_cp.debug("Calculate Q.")
     Q = A * (P ** c0) * (k ** int(c1 * (c0 * y + t)))
     L_tilde = _scaled_l_tilde(L, c1, gf)
-    lz = modvec.dot(L.coeffs, z, gf)
-    if lz is None:
-        lz = L(z)
-    ltz = modvec.dot(L_tilde.coeffs, z_hat, gf)
-    if ltz is None:
-        ltz = L_tilde(z_hat)
+    lz = pivot.form_eval(L, z, gf)
+    ltz = pivot.form_eval(L_tilde, z_hat, gf)
     assert lz * c1 == ltz
 
     return protocol_4_prover(

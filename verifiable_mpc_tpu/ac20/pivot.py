@@ -157,7 +157,12 @@ def form_eval(L, values, gf):
         and type(constant).modulus != gf.modulus
     ):
         return L(values)
-    y = modvec.dot(L.coeffs, values, gf)
+    # a FIELD constant seeds the Python accumulator with a gf element, so
+    # even an all-int coeffs/values dot reduces — native allowed then
+    y = modvec.dot(
+        L.coeffs, values, gf,
+        allow_all_int=isinstance(constant, FiniteFieldElement),
+    )
     if y is None:
         return L(values)
     if isinstance(constant, int) and constant == 0:

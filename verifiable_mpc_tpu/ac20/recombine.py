@@ -51,8 +51,19 @@ def _lagrange_row_consecutive(field, xs, x_r):
 
     lambda_i = prod_{j != i} (x_r - x_j) / (x_i - x_j); for consecutive nodes
     the denominator is (-1)^(n-1-i) * i! * (n-1-i)!.
+
+    The C tier runs the identical algorithm (same reduced integers — these
+    rows are transcript-visible through the unreduced-int form coefficients
+    that weight them); the Python big-int loops below are the fallback.
     """
     modulus = field.modulus
+    if len(xs) >= 4096 and (1 << 192) <= modulus < (1 << 256):
+        from .. import native
+
+        if native.SCALAR_TIER:
+            return native.lagrange_consecutive(
+                modulus, xs[0], len(xs), x_r
+            )
     n = len(xs)
     x_r = x_r % modulus
     diffs = [(x_r - x_j) % modulus for x_j in xs]

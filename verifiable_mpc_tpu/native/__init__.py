@@ -115,9 +115,8 @@ def load():
         u64p, u64p, u64p, u64p,
         u64p, u64p, u64p,
     ]
-    lib.vmpc_modvec_csr_combine.argtypes = [
-        u64p, ctypes.c_uint64, u64p, u64p, u64p, u64p,
-        ctypes.c_uint64, ctypes.c_uint64, u64p,
+    lib.vmpc_lagrange_consecutive.argtypes = [
+        u64p, ctypes.c_uint64, ctypes.c_uint64, u64p, u64p,
     ]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.vmpc_ed_batch_normalize.argtypes = [u64p, ctypes.c_uint64]
@@ -477,19 +476,17 @@ def modvec_mul_triples(p: int, n_in: int, m: int, lptr, lidx, lcoef, lconst,
     return alpha, beta
 
 
-def modvec_csr_combine(p: int, m: int, ptr, idx, coef, w,
-                       thresh: int, shift: int, out_len: int):
-    """Lagrange-weighted sparse-form accumulation into a zeroed [out_len,4]
-    array: out[map(idx[e])] += w[row] * coef[e] mod p with map(j) = j if
-    j < thresh else j + shift."""
+def lagrange_consecutive(p: int, a: int, n: int, c: int):
+    """Lagrange basis row over consecutive nodes a..a+n-1 at point c:
+    [n] reduced Python ints, identical to the pure-Python closed form
+    (recombine._lagrange_row_consecutive)."""
     lib = load()
-    out = np.zeros((out_len, 4), dtype=np.uint64)
-    lib.vmpc_modvec_csr_combine(
-        _u64p(_modvec_ctx(p)), m,
-        _u64p(ptr), _u64p(idx), _u64p(coef), _u64p(w),
-        thresh, shift, _u64p(out),
+    c4 = _ints_to_u64x4([c % p], p)
+    out = np.empty((n, 4), dtype=np.uint64)
+    lib.vmpc_lagrange_consecutive(
+        _u64p(_modvec_ctx(p)), a, n, _u64p(c4), _u64p(out)
     )
-    return out
+    return _u64x4_to_ints(out)
 
 
 def mod_dot(a, b, p: int) -> int:

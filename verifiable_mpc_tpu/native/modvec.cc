@@ -11,6 +11,7 @@
 // mu = floor(2^512 / p) and r512 = 2^512 mod p (precomputed host-side).
 
 #include <cstring>
+#include <vector>
 
 typedef unsigned long long u64;
 typedef __uint128_t u128;
@@ -323,27 +324,64 @@ void vmpc_modvec_mul_triples(const u64 *ctx, u64 n_in, u64 m,
   }
 }
 
-// Lagrange-weighted sparse-form accumulation (ac20 calculate_fg_form):
-// for each CSR row i and entry e, out[map(idx[e])] += w[i] * coef[e] mod p
-// with map(j) = j < thresh ? j : j + shift (the z-layout re-index of
-// convert_to_ac20: inputs keep their slot, mul outputs skip the f(0)/g(0)/
-// h(0) slots).  out has out_len 4-limb rows, caller-zeroed.  Scatter
-// conflicts keep this sequential; m*avg_nnz is ~200k at 2^16 gates.
-void vmpc_modvec_csr_combine(const u64 *ctx, u64 m, const u64 *ptr,
-                             const u64 *idx, const u64 *coef, const u64 *w,
-                             u64 thresh, u64 shift, u64 *out) {
-  for (u64 i = 0; i < m; i++) {
-    for (u64 e = ptr[i]; e < ptr[i + 1]; e++) {
-      u64 prod[8], red[4];
-      mul_4x4(coef + 4 * e, w + 4 * i, prod);
-      Acc512 acc;
-      acc.init();
-      acc.add(prod);
-      acc.reduce(ctx, red);
-      u64 j = idx[e];
-      if (j >= thresh) j += shift;
-      addmod(ctx, out + 4 * j, red, out + 4 * j);
+// Lagrange basis row over CONSECUTIVE integer nodes a..a+n-1 at point c:
+//   out[i] = prefix[i] * suffix[i+1] * (-1)^(n-1-i) / (i! * (n-1-i)!)
+// with prefix/suffix products of d_j = (c - a - j) mod p and every
+// factorial inverse derived from ONE modular inversion — the exact
+// algorithm (and therefore the exact reduced integers) of
+// ac20/recombine._lagrange_row_consecutive, whose Python big-int loops
+// cost ~0.5 s per protocol-8 challenge at 2^16 gates.
+void vmpc_lagrange_consecutive(const u64 *ctx, u64 a, u64 n, const u64 *c4,
+                               u64 *out) {
+  std::vector<u64> diffs(4 * n), prefix(4 * (n + 1)), suffix(4 * (n + 1));
+  std::vector<u64> fact(4 * n), inv_fact(4 * n);
+  const u64 *p = ctx;  // ctx rows start with the modulus (see _modvec_ctx)
+  u64 node[4];
+  for (u64 i = 0; i < n; i++) {
+    smallmod(ctx, (long long)(a + i), node);
+    u64 *d = diffs.data() + 4 * i;
+    if (cmp_n(c4, node, 4) >= 0) {
+      sub_n(d, c4, node, 4);
+    } else {
+      u64 t[4];
+      sub_n(t, p, node, 4);  // p - node
+      for (int k = 0; k < 4; k++) d[k] = t[k];
+      addmod(ctx, d, c4, d);
     }
+  }
+  prefix[0] = 1; prefix[1] = prefix[2] = prefix[3] = 0;
+  for (u64 i = 0; i < n; i++)
+    mulmod(ctx, prefix.data() + 4 * i, diffs.data() + 4 * i,
+           prefix.data() + 4 * (i + 1));
+  suffix[4 * n] = 1; suffix[4 * n + 1] = suffix[4 * n + 2] = suffix[4 * n + 3] = 0;
+  for (long long i = (long long)n - 1; i >= 0; i--)
+    mulmod(ctx, suffix.data() + 4 * (i + 1), diffs.data() + 4 * i,
+           suffix.data() + 4 * i);
+  fact[0] = 1; fact[1] = fact[2] = fact[3] = 0;
+  u64 iv[4];
+  for (u64 i = 1; i < n; i++) {
+    smallmod(ctx, (long long)i, iv);
+    mulmod(ctx, fact.data() + 4 * (i - 1), iv, fact.data() + 4 * i);
+  }
+  invmod(ctx, fact.data() + 4 * (n - 1), inv_fact.data() + 4 * (n - 1));
+  for (u64 i = n - 1; i >= 1; i--) {
+    smallmod(ctx, (long long)i, iv);
+    mulmod(ctx, inv_fact.data() + 4 * i, iv, inv_fact.data() + 4 * (i - 1));
+  }
+#pragma omp parallel for if (n >= 4096)
+  for (long long i = 0; i < (long long)n; i++) {
+    u64 num[4], invd[4], o[4];
+    mulmod(ctx, prefix.data() + 4 * i, suffix.data() + 4 * (i + 1), num);
+    mulmod(ctx, inv_fact.data() + 4 * i, inv_fact.data() + 4 * (n - 1 - i),
+           invd);
+    if ((n - 1 - i) % 2 == 1) {
+      // negate: p - invd (invd != 0: factorials are units)
+      u64 t[4];
+      sub_n(t, p, invd, 4);
+      for (int k = 0; k < 4; k++) invd[k] = t[k];
+    }
+    mulmod(ctx, num, invd, o);
+    for (int k = 0; k < 4; k++) out[4 * i + k] = o[k];
   }
 }
 

@@ -108,17 +108,19 @@ def _arr(xs, gf, int_mode):
     return native._ints_to_u64x4(vals, gf.modulus)
 
 
-def dot(coeffs, values, gf):
+def dot(coeffs, values, gf, allow_all_int=False):
     """<coeffs, values> as a gf element, or None.
 
     Requires int/gf entries only AND at least one product term touching a gf
     element: then the Python accumulation ``result = c*v + result`` the
     caller would run also yields a reduced gf element (gf arithmetic coerces
-    the int terms mod p)."""
+    the int terms mod p).  ``allow_all_int=True`` skips that requirement —
+    for callers whose accumulation is reduced anyway (e.g. form_eval when
+    the form CONSTANT is a field element seeding the accumulator)."""
     if len(coeffs) < MIN_N or not _native_ok(gf):
         return None
     ff = FiniteFieldElement
-    if not any(
+    if not allow_all_int and not any(
         isinstance(c, ff) or isinstance(v, ff)
         for c, v in zip(coeffs, values)
     ):
