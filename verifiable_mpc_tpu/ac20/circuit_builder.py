@@ -132,7 +132,24 @@ class Circuit:
         return out
 
     def mul_gates(self):
-        return [g for g in self.gates if g.op == op.mul]
+        cached = getattr(self, "_mul_gates_cache", None)
+        if cached is not None and cached[0] == self.gate_ct:
+            return cached[1]
+        out = [g for g in self.gates if g.op == op.mul]
+        self._mul_gates_cache = (self.gate_ct, out)
+        return out
+
+    def wire_forms(self):
+        """(left_forms, right_forms) sparse wire forms of every mul gate,
+        memoized — shared by the triples pass and calculate_fg_form."""
+        cached = getattr(self, "_wire_forms_cache", None)
+        if cached is not None and cached[0] == self.gate_ct:
+            return cached[1], cached[2]
+        mul_gs = self.mul_gates()
+        left = [construct_sparse_form(g, self, wire=0) for g in mul_gs]
+        right = [construct_sparse_form(g, self, wire=1) for g in mul_gs]
+        self._wire_forms_cache = (self.gate_ct, left, right)
+        return left, right
 
     def out_gates(self):
         return [self.gates[ix] for ix in self.output_gates]
@@ -169,9 +186,7 @@ class Circuit:
                 # shallow copies: callers may extend/mutate the returned
                 # lists without poisoning later memo hits
                 return tuple(list(xs) for xs in cached)
-        mul_gs = self.mul_gates()
-        left_forms = [construct_sparse_form(g, self, wire=0) for g in mul_gs]
-        right_forms = [construct_sparse_form(g, self, wire=1) for g in mul_gs]
+        left_forms, right_forms = self.wire_forms()
         result = _native_triples(self, left_forms, right_forms, inputs)
         if result is None:
             alpha = [0] * self.mul_ct
@@ -662,9 +677,9 @@ def calculate_fg_form(circuit, wire, challenge, gf):
     dense = [0] * width
     constant = 0
     dense[n_in + wire] = 1 * lagr_vect[0]
-    for j, g in enumerate(circuit.mul_gates()):
+    forms = circuit.wire_forms()[wire]
+    for j, sf in enumerate(forms):
         l_j = lagr_vect[j + 1]
-        sf = construct_sparse_form(g, circuit, wire)
         for idx, coeff in sf.coeffs.items():
             # convert_to_ac20 index map: inputs keep their slot, mul outputs
             # shift past the f(0), g(0), h(0) slots

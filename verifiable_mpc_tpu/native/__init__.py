@@ -118,6 +118,10 @@ def load():
     lib.vmpc_lagrange_consecutive.argtypes = [
         u64p, ctypes.c_uint64, ctypes.c_uint64, u64p, u64p,
     ]
+    lib.vmpc_modvec_csr_dot.argtypes = [
+        u64p, ctypes.c_uint64, u64p, u64p, u64p, u64p, u64p,
+    ]
+    lib.vmpc_modvec_powers.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.vmpc_ed_batch_normalize.argtypes = [u64p, ctypes.c_uint64]
     lib.vmpc_ed_hash_encode.argtypes = [u64p, ctypes.c_uint64, u8p, u64p]
@@ -476,17 +480,43 @@ def modvec_mul_triples(p: int, n_in: int, m: int, lptr, lidx, lcoef, lconst,
     return alpha, beta
 
 
-def lagrange_consecutive(p: int, a: int, n: int, c: int):
-    """Lagrange basis row over consecutive nodes a..a+n-1 at point c:
-    [n] reduced Python ints, identical to the pure-Python closed form
-    (recombine._lagrange_row_consecutive)."""
+def lagrange_consecutive_arr(p: int, a: int, n: int, c: int):
+    """Lagrange basis row over consecutive nodes a..a+n-1 at point c as a
+    reduced [n,4] u64 array."""
     lib = load()
     c4 = _ints_to_u64x4([c % p], p)
     out = np.empty((n, 4), dtype=np.uint64)
     lib.vmpc_lagrange_consecutive(
         _u64p(_modvec_ctx(p)), a, n, _u64p(c4), _u64p(out)
     )
-    return _u64x4_to_ints(out)
+    return out
+
+
+def lagrange_consecutive(p: int, a: int, n: int, c: int):
+    """Same row as [n] reduced Python ints, identical to the pure-Python
+    closed form (recombine._lagrange_row_consecutive)."""
+    return _u64x4_to_ints(lagrange_consecutive_arr(p, a, n, c))
+
+
+def modvec_csr_dot(p: int, ptr, idx, coef, vec):
+    """out[i] = sum_e coef[e] * vec[idx[e]] mod p over CSR rows."""
+    lib = load()
+    nrows = len(ptr) - 1
+    out = np.empty((nrows, 4), dtype=np.uint64)
+    lib.vmpc_modvec_csr_dot(
+        _u64p(_modvec_ctx(p)), nrows,
+        _u64p(ptr), _u64p(idx), _u64p(coef), _u64p(vec), _u64p(out),
+    )
+    return out
+
+
+def modvec_powers(p: int, base: int, count: int):
+    """[base^0, ..., base^(count-1)] mod p as a [count,4] u64 array."""
+    lib = load()
+    b4 = _ints_to_u64x4([base % p], p)
+    out = np.empty((count, 4), dtype=np.uint64)
+    lib.vmpc_modvec_powers(_u64p(_modvec_ctx(p)), _u64p(b4), count, _u64p(out))
+    return out
 
 
 def mod_dot(a, b, p: int) -> int:

@@ -6,8 +6,12 @@
 // both groups — the hot loops of Pinocchio key generation and proving
 // (reference pynocchio.py:101-200, :228-273).
 
+#include <array>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <mutex>
+#include <type_traits>
 #include <vector>
 
 typedef unsigned __int128 u128;
@@ -591,6 +595,70 @@ static void msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
   store_pt(out, result);
 }
 
+// 16-bit fixed-base comb for G1 with a per-base table cache.  The Pinocchio
+// keygen issues EIGHT ~131k-exponent batches on the SAME generator
+// (qap_fast.generate_keys_fast); a cached 16-window x 65535-entry affine
+// table (67 MB) halves the per-exponent adds to <= 16 and amortizes its
+// one-time build (1M adds, window-parallel) across every call on that base.
+struct Comb16 {
+  std::vector<APt<Fp>> table;  // [16][65535] affine multiples
+};
+
+static Comb16 *comb16_for(const Pt<Fp> &b) {
+  static std::mutex mu;
+  static std::map<std::array<u64, 12>, Comb16 *> cache;
+  std::array<u64, 12> key;
+  store_pt(key.data(), b);
+  std::lock_guard<std::mutex> lock(mu);
+  auto it = cache.find(key);
+  if (it != cache.end()) return it->second;
+  Comb16 *c = new Comb16();
+  // window start points 2^(16*win) * b by repeated doubling
+  std::vector<Pt<Fp>> starts(16);
+  starts[0] = b;
+  for (int w = 1; w < 16; w++) {
+    Pt<Fp> cur = starts[w - 1];
+    for (int k = 0; k < 16; k++) {
+      Pt<Fp> t;
+      pt_double(t, cur);
+      cur = t;
+    }
+    starts[w] = cur;
+  }
+  std::vector<Pt<Fp>> table(16ull * 65535);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int w = 0; w < 16; w++) {
+    Pt<Fp> *t = &table[(u64)w * 65535];
+    t[0] = starts[w];
+    for (u64 v = 2; v <= 65535; v++) pt_add(t[v - 1], t[v - 2], starts[w]);
+  }
+  std::vector<char> inf;
+  pts_to_affine(table, c->table, inf);
+  cache[key] = c;
+  return c;
+}
+
+static void batch_exp16_fp(const Pt<Fp> &b, const u64 *exps, u64 n,
+                           u64 *out) {
+  Comb16 *c = comb16_for(b);
+  const APt<Fp> *table = c->table.data();
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < (long long)n; i++) {
+    Pt<Fp> acc;
+    pt_identity(acc);
+    const u64 *e = exps + i * 4;
+    for (int win = 0; win < 16; win++) {
+      unsigned d = (unsigned)((e[win / 4] >> (16 * (win % 4))) & 0xFFFF);
+      if (d) {
+        Pt<Fp> tmp;
+        pt_add_mixed(tmp, acc, table[(u64)win * 65535 + d - 1]);
+        acc = tmp;
+      }
+    }
+    store_pt(out + i * 12, acc);
+  }
+}
+
 template <typename F>
 static void batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
   Pt<F> b;
@@ -600,6 +668,12 @@ static void batch_exp(const u64 *base, const u64 *exps, u64 n, u64 *out) {
     pt_identity(id);
     for (u64 i = 0; i < n; i++) store_pt(out + i * 3 * Ops<F>::words, id);
     return;
+  }
+  if constexpr (std::is_same_v<F, Fp>) {
+    if (n >= 16384) {  // table build amortizes; small batches keep 8-bit
+      batch_exp16_fp(b, exps, n, out);
+      return;
+    }
   }
   // 8-bit fixed-base comb: table[win][v-1] = v * 2^(8 win) * base.
   // 32*255 precomputed adds amortize over the batch; each exponentiation

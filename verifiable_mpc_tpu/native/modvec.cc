@@ -385,6 +385,35 @@ void vmpc_lagrange_consecutive(const u64 *ctx, u64 a, u64 n, const u64 *c4,
   }
 }
 
+// Sparse CSR matvec: out[i] = sum_e coef[e] * vec[idx[e]] mod p for the
+// entries of row i (the per-column QAP basis evaluations v_i(s) etc.,
+// trinocchio/qap_fast.vwy_at).
+void vmpc_modvec_csr_dot(const u64 *ctx, u64 nrows, const u64 *ptr,
+                         const u64 *idx, const u64 *coef, const u64 *vec,
+                         u64 *out) {
+#pragma omp parallel for schedule(static) if (nrows >= 1024)
+  for (long long i = 0; i < (long long)nrows; i++) {
+    Acc512 acc;
+    acc.init();
+    u64 prod[8];
+    for (u64 e = ptr[i]; e < ptr[i + 1]; e++) {
+      mul_4x4(coef + 4 * e, vec + 4 * idx[e], prod);
+      acc.add(prod);
+    }
+    acc.reduce(ctx, out + 4 * i);
+  }
+}
+
+// out[i] = base^0..base^(count-1) * start  (geometric scalar chain mod p)
+void vmpc_modvec_powers(const u64 *ctx, const u64 *base, u64 count,
+                        u64 *out) {
+  if (count == 0) return;
+  out[0] = 1;
+  out[1] = out[2] = out[3] = 0;
+  for (u64 i = 1; i < count; i++)
+    mulmod(ctx, out + 4 * (i - 1), base, out + 4 * i);
+}
+
 // out[j] = sum_i w[i] * rows[i*n + j] mod p   (s rows of length n)
 void vmpc_modvec_weighted_sum(const u64 *ctx, const u64 *w, const u64 *rows,
                               u64 s, u64 n, u64 *out) {

@@ -125,13 +125,34 @@ def dot(coeffs, values, gf, allow_all_int=False):
         for c, v in zip(coeffs, values)
     ):
         return None  # all-int dot: Python would give an unreduced int
-    cc = _arr(coeffs, gf, 1)
+    cc = _arr_cached(coeffs, gf)
     if cc is None:
         return None
     vv = _arr(values, gf, 1)
     if vv is None or len(vv) != len(cc):
         return None
     return gf(native.mod_dot_arr(cc, vv, gf.modulus))
+
+
+_COEFF_ARR_CACHE = {}  # id(list) -> (list ref, modulus, arr)
+
+
+def _arr_cached(coeffs, gf):
+    """_arr with a small identity-keyed memo: protocol 5 evaluates the SAME
+    combined form against several vectors (t over r, lz over z, the
+    protocol-8 y's), and at 2^16 each conversion walks 262k unreduced
+    bigints.  Keyed by list identity + a kept reference (forms never mutate
+    coeffs in place — the algebra builds new lists); bounded size."""
+    key = id(coeffs)
+    hit = _COEFF_ARR_CACHE.get(key)
+    if hit is not None and hit[0] is coeffs and hit[1] == gf.modulus:
+        return hit[2]
+    arr = _arr(coeffs, gf, 1)
+    if arr is not None and len(coeffs) >= 4096:
+        if len(_COEFF_ARR_CACHE) > 16:
+            _COEFF_ARR_CACHE.clear()
+        _COEFF_ARR_CACHE[key] = (coeffs, gf.modulus, arr)
+    return arr
 
 
 def axpy_mixed(c, x, y, gf):

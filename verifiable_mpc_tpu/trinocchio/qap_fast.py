@@ -91,6 +91,11 @@ class SparseQAP:
 
     def vwy_at(self, s: int):
         """(v_i(s), w_i(s), y_i(s)) for all i, via sparse matvecs."""
+        arrs = self.vwy_at_arr(s)
+        if arrs is not None:
+            from .. import native
+
+            return tuple(native._u64x4_to_ints(a) for a in arrs)
         lam = self.basis_at(s)
         p = self.p
 
@@ -104,6 +109,44 @@ class SparseQAP:
             return out
 
         return col_eval(self.A_cols), col_eval(self.B_cols), col_eval(self.C_cols)
+
+    def vwy_at_arr(self, s: int):
+        """(v, w, y) basis evaluations as [m+1,4] u64 arrays via the C CSR
+        matvec, or None without the native tier.  Same reduced values as
+        the Python column loop."""
+        from .. import native
+
+        if not native.SCALAR_TIER or self.m < 256:
+            return None
+        import numpy as np
+
+        p = self.p
+        csr = getattr(self, "_vwy_csr", None)
+        if csr is None:
+            csr = []
+            for cols in (self.A_cols, self.B_cols, self.C_cols):
+                ptr = np.empty(len(cols) + 1, dtype=np.uint64)
+                ptr[0] = 0
+                idx = []
+                coef = []
+                for i, col in enumerate(cols):
+                    for j, c in col:
+                        idx.append(j)
+                        coef.append(int(c) % p)
+                    ptr[i + 1] = len(idx)
+                csr.append(
+                    (
+                        ptr,
+                        np.asarray(idx, dtype=np.uint64),
+                        native._ints_to_u64x4(coef, p),
+                    )
+                )
+            self._vwy_csr = csr
+        lam_arr = native.lagrange_consecutive_arr(p, 1, self.d, int(s))
+        return tuple(
+            native.modvec_csr_dot(p, ptr, idx, coef, lam_arr)
+            for ptr, idx, coef in csr
+        )
 
     def calculate_witness(self, input_vars):
         witness = c2r.assign_variables(self.inputs, input_vars, self.flatcode)
@@ -206,40 +249,100 @@ def generate_keys_fast(td, qap: SparseQAP, gen):
     from ..ops.dispatch import batch_exp
     from ..tools.fastpoly import _horner
 
+    from .. import native
+
     p = qap.p
     s = td.s % p
-    v_s, w_s, y_s = qap.vwy_at(s)
-    t_s = _horner(qap.t_coeffs(), s, p)
+    arrs = qap.vwy_at_arr(s)  # C CSR matvecs; None without the native tier
+    # t(s) = prod_{j=1..d} (s - j) directly: materializing t's COEFFICIENTS
+    # (a d-leaf product tree, ~6 s at 2^17) just to Horner-evaluate one
+    # point was the single largest keygen cost — and the evaluation-form
+    # prover never needs the coefficients either (t_at_nodes steps values)
+    t_s = 1
+    for j in range(1, qap.d + 1):
+        t_s = t_s * (s - j) % p
 
     mid = list(qap.indices_mid)
     evalkey = {}
 
-    def fill(fmt, base, scale, vals, indices):
-        scalars = [scale * int(vals[i]) % p for i in indices]
-        pts = batch_exp(base, scalars)
-        for idx, pt in zip(indices, pts):
-            evalkey[fmt.format(idx)] = pt
+    if arrs is not None:
+        import numpy as np
 
-    fill("r_v*v{}*g1", gen.g1, td.r_v, v_s, mid)
-    fill("r_w*w{}*g2", gen.g2, td.r_w, w_s, mid)
-    fill("r_y*y{}*g1", gen.g1, td.r_y, y_s, mid)
-    fill("r_v*alpha_v*v{}*g1", gen.g1, td.r_v * td.alpha_v % p, v_s, mid)
-    fill("r_w*alpha_w*w{}*g1", gen.g1, td.r_w * td.alpha_w % p, w_s, mid)
-    fill("r_y*alpha_y*y{}*g1", gen.g1, td.r_y * td.alpha_y % p, y_s, mid)
-    beta_combined = [
-        (td.r_v * td.beta * int(v_s[i]) + td.r_w * td.beta * int(w_s[i])
-         + td.r_y * td.beta * int(y_s[i])) % p
-        for i in range(qap.m + 1)
-    ]
-    pts = batch_exp(gen.g1, [beta_combined[i] for i in mid])
-    for idx, pt in zip(mid, pts):
-        evalkey[f"r_v*beta*v+r_w*beta*w+r_y*beta*y{idx}_g1"] = pt
+        v_a, w_a, y_a = arrs
+        mid_ix = np.asarray(mid, dtype=np.intp)
 
-    s_powers = []
-    acc = 1
-    for _ in range(qap.d + 1):
-        s_powers.append(acc)
-        acc = acc * s % p
+        def scaled_mid(scale, arr):
+            # one C scale pass over the mid rows instead of a Python
+            # bigint multiply-reduce per index
+            sel = np.ascontiguousarray(arr[mid_ix])
+            return native._u64x4_to_ints(
+                native.mod_scale_arr(scale % p, sel, p)
+            )
+
+        def vals_for(arr):
+            return native._u64x4_to_ints(arr)
+
+        v_s, w_s, y_s = vals_for(v_a), vals_for(w_a), vals_for(y_a)
+
+        def fill(fmt, base, scale, arr):
+            pts = batch_exp(base, scaled_mid(scale, arr))
+            for idx, pt in zip(mid, pts):
+                evalkey[fmt.format(idx)] = pt
+
+        fill("r_v*v{}*g1", gen.g1, td.r_v, v_a)
+        fill("r_w*w{}*g2", gen.g2, td.r_w, w_a)
+        fill("r_y*y{}*g1", gen.g1, td.r_y, y_a)
+        fill("r_v*alpha_v*v{}*g1", gen.g1, td.r_v * td.alpha_v % p, v_a)
+        fill("r_w*alpha_w*w{}*g1", gen.g1, td.r_w * td.alpha_w % p, w_a)
+        fill("r_y*alpha_y*y{}*g1", gen.g1, td.r_y * td.alpha_y % p, y_a)
+        # beta-combined rows: one 3-row C weighted sum
+        wts = native._ints_to_u64x4(
+            [td.r_v * td.beta % p, td.r_w * td.beta % p,
+             td.r_y * td.beta % p], p,
+        )
+        flat = np.concatenate([v_a, w_a, y_a])
+        beta_arr = native.mod_weighted_sum_arr(
+            wts, flat, 3, qap.m + 1, p
+        )
+        beta_sel = native._u64x4_to_ints(
+            np.ascontiguousarray(beta_arr[mid_ix])
+        )
+        pts = batch_exp(gen.g1, beta_sel)
+        for idx, pt in zip(mid, pts):
+            evalkey[f"r_v*beta*v+r_w*beta*w+r_y*beta*y{idx}_g1"] = pt
+
+        s_powers = native._u64x4_to_ints(
+            native.modvec_powers(p, s, qap.d + 1)
+        )
+    else:
+        v_s, w_s, y_s = qap.vwy_at(s)
+
+        def fill(fmt, base, scale, vals):
+            scalars = [scale * int(vals[i]) % p for i in mid]
+            pts = batch_exp(base, scalars)
+            for idx, pt in zip(mid, pts):
+                evalkey[fmt.format(idx)] = pt
+
+        fill("r_v*v{}*g1", gen.g1, td.r_v, v_s)
+        fill("r_w*w{}*g2", gen.g2, td.r_w, w_s)
+        fill("r_y*y{}*g1", gen.g1, td.r_y, y_s)
+        fill("r_v*alpha_v*v{}*g1", gen.g1, td.r_v * td.alpha_v % p, v_s)
+        fill("r_w*alpha_w*w{}*g1", gen.g1, td.r_w * td.alpha_w % p, w_s)
+        fill("r_y*alpha_y*y{}*g1", gen.g1, td.r_y * td.alpha_y % p, y_s)
+        beta_combined = [
+            (td.r_v * td.beta * int(v_s[i]) + td.r_w * td.beta * int(w_s[i])
+             + td.r_y * td.beta * int(y_s[i])) % p
+            for i in range(qap.m + 1)
+        ]
+        pts = batch_exp(gen.g1, [beta_combined[i] for i in mid])
+        for idx, pt in zip(mid, pts):
+            evalkey[f"r_v*beta*v+r_w*beta*w+r_y*beta*y{idx}_g1"] = pt
+
+        s_powers = []
+        acc = 1
+        for _ in range(qap.d + 1):
+            s_powers.append(acc)
+            acc = acc * s % p
     pts = batch_exp(gen.g1, s_powers)
     for i, pt in enumerate(pts):
         evalkey[f"s^{i}*g1"] = pt
