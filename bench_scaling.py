@@ -38,9 +38,9 @@ def main():
     from verifiable_mpc_tpu.groups.edwards import ELL, EdwardsPoint
     from verifiable_mpc_tpu.parallel import mesh as pmesh
 
-    log2n = int(os.environ.get("SCALING_LOG2_N", "13"))
+    log2n = int(os.environ.get("SCALING_LOG2_N", "12"))
     n = 1 << log2n
-    chunk = 256
+    chunk = 32
     rng = np.random.RandomState(3)
     g = EdwardsPoint.generator
     base = [g ** int(e) for e in rng.randint(1, 1 << 62, 256)]
