@@ -203,3 +203,44 @@ def test_ref_transcript_golden_bytes():
         f"[1, 2], 0, 7, 'First hash of compressed pivot']"
     )
     assert enc == expect
+
+
+def test_circuit_sat_r1cs_ref_transcript_roundtrip():
+    """ref mode on the code-string front-end: the code string hashes
+    quoted (a str in the input_list), forms and points as ref reprs."""
+    import verifiable_mpc_tpu.ac20.circuit_sat_r1cs as csr
+
+    group = EllipticCurve("Ed25519", "projective")
+    gf = GF(group.order)
+    code = """
+def qeval(x):
+    a0 = x*x + 1
+    a1 = a0*a0 + 2
+    return a1 + x
+"""
+    x = [gf(3)]
+    padded_x, padded_code, z_len = csr.input_length_power_of_2(x, code)
+    with vrng.deterministic(77):
+        gens = csr.create_generators(z_len, csr.PivotChoice.compressed, group)
+        proof = csr.circuit_sat_prover(
+            gens, padded_code, padded_x, gf, csr.PivotChoice.compressed,
+            transcript="ref",
+        )
+    v = csr.circuit_sat_verifier(
+        proof, gens, padded_code, gf, csr.PivotChoice.compressed,
+        transcript="ref",
+    )
+    flat = [
+        x2 if not isinstance(x2, dict) else all(x2.values())
+        for x2 in v.values()
+    ]
+    assert all(flat), v
+    # and the default transcript must reject the ref-mode proof
+    v1 = csr.circuit_sat_verifier(
+        proof, gens, padded_code, gf, csr.PivotChoice.compressed
+    )
+    flat1 = [
+        x2 if not isinstance(x2, dict) else all(x2.values())
+        for x2 in v1.values()
+    ]
+    assert not all(flat1)

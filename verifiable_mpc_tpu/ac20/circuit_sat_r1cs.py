@@ -536,7 +536,17 @@ def protocol_8_excl_pivot_verifier(proof, code, gf, use_koe=False):
 
 def circuit_sat_prover(generators, code, x, gf, pivot_choice=PivotChoice.compressed,
                        transcript="v1"):
-    """Protocol 8 prover with pivot dispatch (reference :591-618)."""
+    """Protocol 8 prover with pivot dispatch (reference :591-618).
+
+    transcript="ref": v1 structure, reference string-encoding bytes
+    (ac20/ref_transcript.py)."""
+    if transcript == "ref":
+        from . import ref_transcript
+
+        with ref_transcript.active():
+            return circuit_sat_prover(
+                generators, code, x, gf, pivot_choice, transcript="v1"
+            )
     proof, z_commitment, L, z, gamma = protocol_8_excl_pivot_prover(
         generators, code, x, gf
     )
@@ -566,6 +576,13 @@ def circuit_sat_prover(generators, code, x, gf, pivot_choice=PivotChoice.compres
 def circuit_sat_verifier(proof, generators, code, gf, pivot_choice=PivotChoice.compressed,
                          transcript="v1"):
     """Protocol 8 verifier with pivot dispatch (reference :621-654)."""
+    if transcript == "ref":
+        from . import ref_transcript
+
+        with ref_transcript.active():
+            return circuit_sat_verifier(
+                proof, generators, code, gf, pivot_choice, transcript="v1"
+            )
     verification, L = protocol_8_excl_pivot_verifier(proof, code, gf)
 
     if pivot_choice == PivotChoice.compressed:
