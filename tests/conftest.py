@@ -46,21 +46,41 @@ jax.config.update("jax_enable_compilation_cache", False)
 _ = _cpu_tag  # retained for callers that want a fingerprinted dir
 
 
-def pytest_collection_modifyitems(session, config, items):
-    """Run the multi-device shard_map modules FIRST.
+# XLA:CPU cannot mix the multi-device shard_map program class and the rest
+# of this suite's compiles in ONE process: compiling the four-step NTT
+# after several hundred single-device compiles segfaults (round-2 suite
+# crashes, faulthandler inside backend_compile_and_load), and compiling an
+# interpret-mode Pallas program after the multi-device modules SIGABRTs
+# (round-3, test_bn_pallas, persistent cache fully disabled — so neither
+# failure is cache-related; both are in-process XLA compiler state).  The
+# same tests always pass standalone.  Fix: process isolation — in a full
+# suite run the multi-device modules are skipped in this process and
+# executed by tests/test_multidevice_subprocess.py in a CHILD pytest;
+# running any of these modules directly (their own process) is unaffected
+# because the skip only triggers when OTHER modules are collected too.
+MULTIDEVICE_MODULES = (
+    "test_ntt_mesh",
+    "test_parallel",
+    "test_parallel_fused",
+    "test_multichip_prover",
+)
 
-    Root cause of the round-2 full-suite crashes: XLA:CPU's LLVM JIT
-    segfaults while COMPILING the four-step NTT shard_map program
-    (faulthandler: Fatal Python error inside
-    jax/_src/compiler.py backend_compile_and_load, NOT in the persistent
-    cache — the round-2 cache fixtures aimed at the wrong layer) once
-    several hundred compilations have accumulated in the process.  The
-    same tests pass standalone, i.e. when their compiles happen in a
-    near-fresh process.  Ordering them first reproduces that known-good
-    state inside the single suite run; the later modules compile only
-    single-device programs, which have always been position-independent.
-    """
-    early = ("test_ntt_mesh", "test_parallel", "test_multichip_prover")
-    items.sort(
-        key=lambda it: 0 if any(e in it.nodeid for e in early) else 1
-    )
+
+def pytest_collection_modifyitems(session, config, items):
+    import pytest
+
+    def modname(item):
+        return item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+
+    names = {modname(it) for it in items}
+    multi = {n for n in names if n in MULTIDEVICE_MODULES}
+    others = names - multi - {"test_multidevice_subprocess"}
+    if multi and others:
+        marker = pytest.mark.skip(
+            reason="multi-device XLA:CPU programs run in a separate process "
+            "(test_multidevice_subprocess.py); mixing them with the rest of "
+            "the suite's compiles crashes XLA:CPU in-process"
+        )
+        for it in items:
+            if modname(it) in MULTIDEVICE_MODULES:
+                it.add_marker(marker)
