@@ -142,7 +142,7 @@ def _run_tcp(args, pivot, group_choice):
 async def _tcp_party_main(pivot, group_choice, n):
     verification = await main(pivot, group_choice, n, verbose=False)
     ok = all(_leaves(verification))
-    print("PARTY_VERIFIED", mpc.pid, ok, flush=True)
+    print(f"PARTY_VERIFIED {mpc.pid} {ok}", flush=True)
     return 0 if ok else 1
 
 

@@ -131,7 +131,7 @@ def qeval(x, y):
 async def _tcp_party_main():
     verifications = await main(verbose=False)
     ok = all(verifications.values())
-    print("PARTY_VERIFIED", mpc.pid, ok, flush=True)
+    print(f"PARTY_VERIFIED {mpc.pid} {ok}", flush=True)
     return 0 if ok else 1
 
 

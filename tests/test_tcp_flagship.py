@@ -20,11 +20,12 @@ def _run_demo(script, extra, port):
         timeout=600,
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
-    verified = [
-        line for line in r.stdout.splitlines() if "PARTY_VERIFIED" in line
-    ]
-    assert len(verified) == 3, r.stdout[-2000:]
-    assert all("True" in line for line in verified), verified
+    # parties inherit the parent's stdout, so lines can interleave at the
+    # OS level: count occurrences rather than parsing whole lines
+    out = r.stdout
+    assert out.count("PARTY_VERIFIED") == 3, out[-2000:]
+    assert "False" not in out, out[-2000:]
+    assert "completed and verified" in out, out[-2000:]
 
 
 def test_ac20_full_prove_three_processes_over_tcp():
