@@ -313,7 +313,14 @@ class CircuitVar:
             return 1
         if other == 1:
             return self
-        return self * pow(self, other - 1)
+        # iterative; gate-order-identical to the reference's recursion
+        # self * pow(self, other-1) (circuit_builder.py:376-381), which
+        # builds the innermost product first — the recursive form blows
+        # the interpreter stack at ~1000 (e.g. c**4096 in the MPC demo)
+        acc = self
+        for _ in range(other - 1):
+            acc = self * acc
+        return acc
 
     # -- gadgets -----------------------------------------------------------
     def check_not_zero(self):
