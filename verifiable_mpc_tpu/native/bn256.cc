@@ -520,10 +520,13 @@ static void store_pt(u64 *dst, const Pt<F> &p) {
 
 template <typename F>
 static void msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
+  // Capped at 11/12: larger windows push the per-thread bucket array out
+  // of L2 and the accumulate phase goes memory-bound (measured on the Ed
+  // path: w=11 1.6x faster than w=16 at n=2^18; same structure here).
   int w = 4;
   if (n >= 32) w = 8;
-  if (n >= 4096) w = 12;
-  if (n >= 262144) w = 16;
+  if (n >= 4096) w = 11;
+  if (n >= 1048576) w = 12;
   int nwin = (256 + w - 1) / w;
   size_t nbuckets = ((size_t)1 << w) - 1;
 

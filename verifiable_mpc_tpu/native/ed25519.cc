@@ -431,10 +431,14 @@ extern "C" {
 void vmpc_ed_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
   init_constants();
   // Pippenger: window size by n
+  // Window size by n, capped at 11: beyond that the per-thread bucket
+  // array (2^w * 128 B) falls out of L2 and the accumulate phase goes
+  // memory-bound — measured at n=2^18 on 4 cores: w=11 686k pts/s,
+  // w=12 683k, w=13 624k, w=16 433k (the old asymptotic-count choice).
   int w = 4;
   if (n >= 32) w = 8;
-  if (n >= 4096) w = 12;
-  if (n >= 262144) w = 16;
+  if (n >= 4096) w = 11;
+  if (n >= 1048576) w = 12;
   int nwin = (256 + w - 1) / w;
   size_t nbuckets = ((size_t)1 << w) - 1;
 
