@@ -720,6 +720,152 @@ fail0:
     return out;
 }
 
+/* --------------------------------------------------------- circuit gates */
+
+/* T_STR(0x02) + u32be(len) + utf8 bytes; v must be an exact str. */
+static int write_str_record(Buf *b, PyObject *s) {
+    Py_ssize_t len;
+    const char *utf8 = PyUnicode_AsUTF8AndSize(s, &len);
+    if (!utf8) return -1;
+    unsigned char *dst = buf_reserve(b, 5 + len);
+    if (!dst) return -1;
+    dst[0] = 0x02; /* T_STR */
+    dst[1] = (unsigned char)(len >> 24);
+    dst[2] = (unsigned char)(len >> 16);
+    dst[3] = (unsigned char)(len >> 8);
+    dst[4] = (unsigned char)len;
+    memcpy(dst + 5, utf8, len);
+    b->len += 5 + len;
+    return 0;
+}
+
+/* One gate atom, matching serialization._encode's enc_atom exactly:
+ * CircuitVar -> its .name first, then exact str -> T_STR record, exact
+ * int (bool excluded, as in Python's `type(v) is int`) -> T_INT record.
+ * Returns 0 written, 1 unsupported (caller falls back for the whole
+ * circuit), -1 error. */
+static int write_atom(Buf *b, PyObject *v, PyObject *cvar_type,
+                      PyObject *s_name) {
+    PyObject *tmp = NULL;
+    int isvar = PyObject_IsInstance(v, cvar_type);
+    if (isvar < 0) return -1;
+    if (isvar) {
+        tmp = PyObject_GetAttr(v, s_name);
+        if (!tmp) return -1;
+        v = tmp;
+    }
+    int rc;
+    if (PyUnicode_CheckExact(v)) {
+        rc = write_str_record(b, v);
+    } else if (PyLong_CheckExact(v)) {
+        unsigned char *tag = buf_reserve(b, 1);
+        if (!tag) {
+            rc = -1;
+        } else {
+            *tag = 0x01; /* T_INT */
+            b->len += 1;
+            rc = write_int_record(b, v);
+        }
+    } else {
+        rc = 1; /* exotic constant: whole-circuit Python fallback */
+    }
+    Py_XDECREF(tmp);
+    return rc;
+}
+
+/* encode_gates(gates, cvar_type) -> bytes | None
+ *
+ * The per-gate body of the T_CIRCUIT structural encoding
+ * (serialization._encode, Circuit branch): for every gate, a T_STR record
+ * of g.op, the output atom, u32be(len(g.inputs)), then each input atom.
+ * BYTE-IDENTICAL to the Python loop (pinned by the golden-transcript
+ * tests).  Returns None when any op is a non-str or any atom is neither
+ * str/int/CircuitVar-named-by-str — the caller falls back wholesale. */
+static PyObject *encode_gates(PyObject *self, PyObject *args) {
+    PyObject *gates, *cvar_type;
+    if (!PyArg_ParseTuple(args, "OO", &gates, &cvar_type)) return NULL;
+    if (!PyList_CheckExact(gates)) {
+        PyErr_SetString(PyExc_TypeError, "expected list of gates");
+        return NULL;
+    }
+    PyObject *names[4];
+    names[0] = PyUnicode_InternFromString("op");
+    names[1] = PyUnicode_InternFromString("output");
+    names[2] = PyUnicode_InternFromString("inputs");
+    names[3] = PyUnicode_InternFromString("name");
+    if (!names_ok(names, 4)) {
+        for (int j = 0; j < 4; j++) Py_XDECREF(names[j]);
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(gates);
+    Buf b;
+    if (buf_init(&b, 64 + n * 48)) {
+        for (int j = 0; j < 4; j++) Py_DECREF(names[j]);
+        return PyErr_NoMemory();
+    }
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *g = PyList_GET_ITEM(gates, i);
+        int rc;
+        PyObject *op = PyObject_GetAttr(g, names[0]);
+        if (!op) goto fail;
+        rc = PyUnicode_CheckExact(op) ? write_str_record(&b, op) : 1;
+        Py_DECREF(op);
+        if (rc) goto out_rc;
+        PyObject *out_v = PyObject_GetAttr(g, names[1]);
+        if (!out_v) goto fail;
+        rc = write_atom(&b, out_v, cvar_type, names[3]);
+        Py_DECREF(out_v);
+        if (rc) goto out_rc;
+        PyObject *ins = PyObject_GetAttr(g, names[2]);
+        if (!ins) goto fail;
+        PyObject **items;
+        Py_ssize_t ni;
+        if (PyList_CheckExact(ins)) {
+            items = ((PyListObject *)ins)->ob_item;
+            ni = PyList_GET_SIZE(ins);
+        } else if (PyTuple_CheckExact(ins)) {
+            items = ((PyTupleObject *)ins)->ob_item;
+            ni = PyTuple_GET_SIZE(ins);
+        } else {
+            Py_DECREF(ins);
+            rc = 1;
+            goto out_rc;
+        }
+        unsigned char *dst = buf_reserve(&b, 4);
+        if (!dst) {
+            Py_DECREF(ins);
+            goto fail;
+        }
+        dst[0] = (unsigned char)(ni >> 24);
+        dst[1] = (unsigned char)(ni >> 16);
+        dst[2] = (unsigned char)(ni >> 8);
+        dst[3] = (unsigned char)ni;
+        b.len += 4;
+        rc = 0;
+        for (Py_ssize_t k = 0; k < ni && rc == 0; k++)
+            rc = write_atom(&b, items[k], cvar_type, names[3]);
+        Py_DECREF(ins);
+        if (rc) goto out_rc;
+        continue;
+    out_rc:
+        if (rc < 0) goto fail;
+        /* rc == 1: unsupported shape -> Python fallback */
+        buf_free(&b);
+        for (int j = 0; j < 4; j++) Py_DECREF(names[j]);
+        Py_RETURN_NONE;
+    }
+    {
+        PyObject *out = PyBytes_FromStringAndSize((char *)b.data, b.len);
+        buf_free(&b);
+        for (int j = 0; j < 4; j++) Py_DECREF(names[j]);
+        return out;
+    }
+fail:
+    buf_free(&b);
+    for (int j = 0; j < 4; j++) Py_DECREF(names[j]);
+    return NULL;
+}
+
 /* ---------------------------------------------------------------- module */
 
 static PyMethodDef methods[] = {
@@ -747,6 +893,8 @@ static PyMethodDef methods[] = {
      "BN twist points -> 192-byte rows (x,y,z as c0||c1)."},
     {"u64_to_bn2_pts", u64_to_bn2_pts, METH_VARARGS,
      "192-byte reduced rows -> list of BN twist points (skips __init__)."},
+    {"encode_gates", encode_gates, METH_VARARGS,
+     "Per-gate body of the T_CIRCUIT structural transcript encoding."},
     {NULL, NULL, 0, NULL},
 };
 

@@ -149,6 +149,19 @@ def _encode(buf, obj):
             if cached is not None and cached[0] == len(obj.gates):
                 buf.write(cached[1])
                 return
+            fs = _fastser()
+            enc_gates = getattr(fs, "encode_gates", None) if fs else None
+            if enc_gates is not None:
+                raw_gates = enc_gates(obj.gates, CircuitVar)
+                if raw_gates is not None:
+                    raw = (
+                        bytes([T_CIRCUIT])
+                        + _PACK_I(len(obj.gates))
+                        + raw_gates
+                    )
+                    obj._enc_cache = (len(obj.gates), raw)
+                    buf.write(raw)
+                    return
             # tight loop: gate records are op-str + name-str/int atoms; the
             # generic _encode dispatch per atom dominates the one-time fill
             # at 2^16 gates.  Byte-identical to _encode of the same atoms.
