@@ -146,6 +146,49 @@ def test_circuit_encoding_memoized():
     assert circuit._enc_cache[0] == len(circuit.gates)
 
 
+def test_encode_gates_c_path_matches_python():
+    """The C encode_gates path must fire for DSL-built circuits (Gate.op is
+    an `op` Enum member, not a str) and emit bytes identical to the Python
+    loop's per-gate records."""
+    import verifiable_mpc_tpu.ac20.circuit_builder as cb
+
+    circuit = cb.Circuit()
+    x = cb.CircuitVar(gf(3), circuit, "x")
+    y = cb.CircuitVar(gf(5), circuit, "y")
+    z = (x * y + 2) * x - y * 7
+    w = z != 0  # gadget: mixes scalar_mul / add / mul gates + aux inputs
+    w.label_output("w")
+
+    raw_c = fs.encode_gates(circuit.gates, cb.CircuitVar)
+    assert raw_c is not None, "C path must support every DSL-built circuit"
+
+    # Python fallback bytes for the same circuit (full-circuit record is
+    # T_CIRCUIT + u32(len) + gate body; compare the gate body).
+    if hasattr(circuit, "_enc_cache"):
+        del circuit._enc_cache
+    pybuf = io.BytesIO()
+    saved = serialization._fastser
+    try:
+        serialization._fastser = lambda: None
+        serialization._encode(pybuf, circuit)
+    finally:
+        serialization._fastser = saved
+    py_raw = pybuf.getvalue()
+    import struct
+
+    assert py_raw[0] == serialization.T_CIRCUIT
+    (n_gates,) = struct.unpack(">I", py_raw[1:5])
+    assert n_gates == len(circuit.gates)
+    assert raw_c == py_raw[5:]
+
+    # and the full _encode dispatch actually uses the C bytes
+    if hasattr(circuit, "_enc_cache"):
+        del circuit._enc_cache
+    cbuf = io.BytesIO()
+    serialization._encode(cbuf, circuit)
+    assert cbuf.getvalue() == py_raw
+
+
 def test_bn_point_converters_roundtrip():
     """C converters for BN G1/twist points: object-identical to the Python
     loops (reduced coords, skipped __init__s)."""

@@ -64,6 +64,85 @@ def test_ref_repr_qr_signed():
     assert v % group.modulus == e.value and abs(v) <= group.modulus // 2
 
 
+def test_ref_repr_bn_twist_gfpx_tokens():
+    """A5-A7: GF(p^2) coordinates repr as MPyC gfpx polynomial term
+    strings (descending degree, '+'-joined, unit coefficients omitted,
+    no '*', unsigned residues, zero polynomial '0')."""
+    from verifiable_mpc_tpu.groups.bn256 import BNTwistPoint, GFp2
+    from verifiable_mpc_tpu.groups.bn256 import P as BNP
+
+    assert rt.ref_repr(GFp2(0, 1)) == "x"  # i itself (pairing.py:56)
+    assert rt.ref_repr(GFp2(3, 1)) == "x+3"  # xi = i + 3 (pairing.py:57)
+    assert rt.ref_repr(GFp2(5, 0)) == "5"
+    assert rt.ref_repr(GFp2(0, 0)) == "0"
+    assert rt.ref_repr(GFp2(7, 2)) == "2x+7"
+    assert rt.ref_repr(GFp2(0, 9)) == "9x"
+    # coefficients are canonical residues: NO signed repr (A6)
+    assert rt.ref_repr(GFp2(BNP - 1, BNP - 1)) == f"{BNP - 1}x+{BNP - 1}"
+
+    g2 = BNTwistPoint.generator
+    expect = (
+        f"({rt.ref_repr(g2.x)}, {rt.ref_repr(g2.y)}, {rt.ref_repr(g2.z)})"
+    )
+    assert rt.ref_repr(g2) == expect
+    # the KoE z_commitment dict as the reference hashes it
+    # (circuit_sat_r1cs.py:436-447): dict repr with quoted keys
+    from verifiable_mpc_tpu.groups.bn256 import BNPoint
+
+    g1 = BNPoint.generator
+    d = {"P": g1, "pi": g2}
+    assert (
+        rt.ref_repr(d) == f"{{'P': {rt.ref_repr(g1)}, 'pi': {expect}}}"
+    )
+
+
+def test_circuit_sat_koe_ref_transcript_roundtrip():
+    """ref mode through the KoE pivot (reference circuit_sat_r1cs.py koe
+    branch + knowledge_of_exponent.py): the z_commitment {P, pi} dict with
+    its BN256-twist pi is hashed in both protocol-8 hashes and the nullity
+    hash, so this exercises the gfpx twist reprs end-to-end."""
+    from verifiable_mpc_tpu.groups.bn256 import BNPoint, BNTwistPoint
+
+    gf = GF(BNPoint.order)
+    circuit = cb.Circuit()
+    b = cb.CircuitVar(1, circuit, "b")
+    c = cb.CircuitVar(2, circuit, "c")
+    d = c * c + b * 3 + 1
+    (d * c).label_output("f")
+    xs = circuit.initial_inputs()
+    _, padding, g_length = cs.check_input_length_power_of_2(xs, circuit)
+    for i in range(padding):
+        cb.CircuitVar(0, circuit, f"unused_{i}")
+    xs = circuit.initial_inputs()
+    group = [
+        EllipticCurve("BN256", "jacobian"),
+        EllipticCurve("BN256_twist", "jacobian"),
+    ]
+    with vrng.deterministic(93):
+        gens = cs.create_generators(g_length, cs.PivotChoice.koe, group)
+        proof = cs.circuit_sat_prover(
+            gens, circuit, xs, gf, cs.PivotChoice.koe, transcript="ref"
+        )
+    v = cs.circuit_sat_verifier(
+        proof, gens, circuit, gf, cs.PivotChoice.koe, transcript="ref"
+    )
+    flat = [
+        x2 if not isinstance(x2, dict) else all(x2.values())
+        for x2 in v.values()
+    ]
+    assert all(flat), v
+    # the default transcript derives different challenges: the ref-mode
+    # proof's nullity form no longer matches
+    v1 = cs.circuit_sat_verifier(
+        proof, gens, circuit, gf, cs.PivotChoice.koe
+    )
+    flat1 = [
+        x2 if not isinstance(x2, dict) else all(x2.values())
+        for x2 in v1.values()
+    ]
+    assert not all(flat1)
+
+
 def test_ref_repr_affine_form_matches_reference_format():
     gf = GF(101)
     lf = pivot.LinearForm([1, gf(2)])

@@ -41,20 +41,38 @@ or normalize those vectors on both sides.  This repo batch-normalizes all
 hashed vectors (groups/base.py batch_normalize), i.e. hashes z=1
 representatives throughout.
 
+A5. ``finfields.ExtensionFieldElement`` (the BN256-twist coordinate field
+    GF(p^2), built by ``fingroups`` as ``GF(gfpx.GFpX(p)('x^2+1'))``,
+    reference pairing.py:45-49 via ``EllipticCurve('BN256_twist')``) reprs
+    as its ``value`` — a ``gfpx.Polynomial`` — in gfpx's term-string
+    format.
+A6. ``gfpx.Polynomial`` term format: terms in DESCENDING degree joined by
+    ``+``, zero coefficients skipped, coefficient 1 omitted (``x``, not
+    ``1x``), no ``*`` between coefficient and indeterminate (``2x``),
+    powers as ``x^k``, the degree-0 term a bare integer, and the zero
+    polynomial ``0``.  gfpx coefficients are canonical residues in
+    {0..p-1} — UNSIGNED (``is_signed`` is a prime-field concept; gfpx has
+    none), so c1*i + c0 reprs as e.g. ``{c1}x+{c0}``.
+A7. BN256-twist points repr like A2: the jacobian ``value = (x, y, z)``
+    3-tuple, each coordinate per A5/A6.  (The reference's KoE flow hashes
+    the twist pi inside the ``z_commitment`` dict verbatim — no
+    ``.normalize()`` at the hash sites, circuit_sat_r1cs.py:436-447 — so
+    the representative caveat below applies to the twist exactly as to
+    the folded g_hat.)
+
 Scope: int/str/bool/list/tuple/dict, prime-field elements, Ed25519 points,
-BN256 G1 jacobian points, QR elements, Affine/Linear/Sparse forms, Circuit
-(the reference's recursive ``print_circuit`` expansion).  BN256-twist
-points (GF(p^2) coordinates — MPyC gfpx polynomial reprs) are NOT
-supported: the KoE pivot has no ref-transcript mode yet.
+BN256 G1 jacobian points, BN256-twist points (GF(p^2) coordinates, MPyC
+gfpx polynomial reprs — the KoE pivot), QR elements, Affine/Linear/Sparse
+forms, Circuit (the reference's recursive ``print_circuit`` expansion).
 """
 
 from __future__ import annotations
 
 import contextlib
 
-from ..fields import FiniteFieldElement
+from ..fields import FiniteFieldElement, QuadraticExtensionElement
 from ..groups.edwards import EdwardsPoint, P as ED_P
-from ..groups.bn256 import BNPoint, P as BN_P
+from ..groups.bn256 import BNPoint, BNTwistPoint, P as BN_P
 from ..groups.qr import QuadraticResidueElement
 
 ACTIVE = False
@@ -81,6 +99,18 @@ def _join(items) -> str:
     return ", ".join(ref_repr(i) for i in items)
 
 
+def _gfpx_terms(c0: int, c1: int) -> str:
+    """MPyC ``gfpx.Polynomial`` term string for c1*x + c0 (A6): descending
+    degree, ``+``-joined, zero terms skipped, unit coefficients omitted,
+    no ``*``, canonical UNSIGNED coefficients, zero polynomial ``0``."""
+    terms = []
+    if c1:
+        terms.append("x" if c1 == 1 else f"{c1}x")
+    if c0:
+        terms.append(str(c0))
+    return "+".join(terms) if terms else "0"
+
+
 def ref_repr(obj) -> str:
     """repr(obj) as the MPyC-based reference would produce it."""
     # local import: circuit_builder imports pivot which imports this module
@@ -95,6 +125,8 @@ def ref_repr(obj) -> str:
         return repr(obj)
     if isinstance(obj, FiniteFieldElement):
         return str(int(obj))  # A1 (signed iff is_signed, this repo's repr)
+    if isinstance(obj, QuadraticExtensionElement):
+        return _gfpx_terms(obj.c0, obj.c1)  # A5/A6
     if isinstance(obj, EdwardsPoint):
         # A2/A3: 3-tuple of signed projective coordinates, extended t dropped
         return (
@@ -105,6 +137,13 @@ def ref_repr(obj) -> str:
         # .value is the 0..p-1 residue regardless of the field's is_signed
         x, y, z = obj.x.value, obj.y.value, obj.z.value
         return f"({_signed(x, BN_P)}, {_signed(y, BN_P)}, {_signed(z, BN_P)})"
+    if isinstance(obj, BNTwistPoint):
+        # A7: jacobian 3-tuple of GF(p^2) coords, gfpx polynomial reprs
+        return (
+            f"({_gfpx_terms(obj.x.c0, obj.x.c1)}, "
+            f"{_gfpx_terms(obj.y.c0, obj.y.c1)}, "
+            f"{_gfpx_terms(obj.z.c0, obj.z.c1)})"
+        )
     if isinstance(obj, QuadraticResidueElement):
         return str(_signed(obj.value, type(obj).modulus))  # A4
     if isinstance(obj, pivot_mod.AffineForm):  # covers LinearForm

@@ -722,11 +722,15 @@ fail0:
 
 /* --------------------------------------------------------- circuit gates */
 
-/* T_STR(0x02) + u32be(len) + utf8 bytes; v must be an exact str. */
+/* T_STR(0x02) + u32be(len) + utf8 bytes; v must be an exact str.
+ * Returns 1 (unsupported -> Python fallback, which raises in struct.pack)
+ * for strings whose utf8 length does not fit the u32 length field, instead
+ * of silently truncating it. */
 static int write_str_record(Buf *b, PyObject *s) {
     Py_ssize_t len;
     const char *utf8 = PyUnicode_AsUTF8AndSize(s, &len);
     if (!utf8) return -1;
+    if ((unsigned long long)len > 0xFFFFFFFFULL) return 1;
     unsigned char *dst = buf_reserve(b, 5 + len);
     if (!dst) return -1;
     dst[0] = 0x02; /* T_STR */
@@ -798,6 +802,11 @@ static PyObject *encode_gates(PyObject *self, PyObject *args) {
         return NULL;
     }
     Py_ssize_t n = PyList_GET_SIZE(gates);
+    /* Gate.op is an `op` Enum member in the builder DSL (never a plain
+     * str): mirror the Python path's str(g.op), cached per distinct op
+     * object (enum members are singletons, so identity keys suffice). */
+    PyObject *op_keys[8], *op_strs[8];
+    int n_op_cache = 0;
     Buf b;
     if (buf_init(&b, 64 + n * 48)) {
         for (int j = 0; j < 4; j++) Py_DECREF(names[j]);
@@ -808,7 +817,41 @@ static PyObject *encode_gates(PyObject *self, PyObject *args) {
         int rc;
         PyObject *op = PyObject_GetAttr(g, names[0]);
         if (!op) goto fail;
-        rc = PyUnicode_CheckExact(op) ? write_str_record(&b, op) : 1;
+        PyObject *ops = NULL;
+        if (PyUnicode_CheckExact(op)) {
+            ops = op;
+            Py_INCREF(ops);
+        } else {
+            for (int j = 0; j < n_op_cache; j++) {
+                if (op_keys[j] == op) {
+                    ops = op_strs[j];
+                    Py_INCREF(ops);
+                    break;
+                }
+            }
+            if (!ops) {
+                ops = PyObject_Str(op);
+                if (!ops) {
+                    Py_DECREF(op);
+                    goto fail;
+                }
+                if (!PyUnicode_CheckExact(ops)) {
+                    Py_DECREF(ops);
+                    Py_DECREF(op);
+                    rc = 1;
+                    goto out_rc;
+                }
+                if (n_op_cache < 8) {
+                    Py_INCREF(op);
+                    Py_INCREF(ops);
+                    op_keys[n_op_cache] = op;
+                    op_strs[n_op_cache] = ops;
+                    n_op_cache++;
+                }
+            }
+        }
+        rc = write_str_record(&b, ops);
+        Py_DECREF(ops);
         Py_DECREF(op);
         if (rc) goto out_rc;
         PyObject *out_v = PyObject_GetAttr(g, names[1]);
@@ -851,17 +894,29 @@ static PyObject *encode_gates(PyObject *self, PyObject *args) {
         if (rc < 0) goto fail;
         /* rc == 1: unsupported shape -> Python fallback */
         buf_free(&b);
+        for (int j = 0; j < n_op_cache; j++) {
+            Py_DECREF(op_keys[j]);
+            Py_DECREF(op_strs[j]);
+        }
         for (int j = 0; j < 4; j++) Py_DECREF(names[j]);
         Py_RETURN_NONE;
     }
     {
         PyObject *out = PyBytes_FromStringAndSize((char *)b.data, b.len);
         buf_free(&b);
+        for (int j = 0; j < n_op_cache; j++) {
+            Py_DECREF(op_keys[j]);
+            Py_DECREF(op_strs[j]);
+        }
         for (int j = 0; j < 4; j++) Py_DECREF(names[j]);
         return out;
     }
 fail:
     buf_free(&b);
+    for (int j = 0; j < n_op_cache; j++) {
+        Py_DECREF(op_keys[j]);
+        Py_DECREF(op_strs[j]);
+    }
     for (int j = 0; j < 4; j++) Py_DECREF(names[j]);
     return NULL;
 }
