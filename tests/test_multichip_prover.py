@@ -28,10 +28,13 @@ prng = random.Random(7)
 @pytest.fixture(autouse=True)
 def _restore_dispatch():
     """enable_multichip mutates process-global backend registries."""
+    from verifiable_mpc_tpu.ops import ntt
+
     saved = (
         dict(dispatch._MSM_BACKENDS),
         dict(dispatch._FOLD_BACKENDS),
         dict(dispatch._BATCH_EXP_BACKENDS),
+        ntt._MESH_BACKEND,
     )
     yield
     dispatch._MSM_BACKENDS.clear()
@@ -40,6 +43,7 @@ def _restore_dispatch():
     dispatch._FOLD_BACKENDS.update(saved[1])
     dispatch._BATCH_EXP_BACKENDS.clear()
     dispatch._BATCH_EXP_BACKENDS.update(saved[2])
+    ntt._MESH_BACKEND = saved[3]
 
 
 def _setup():

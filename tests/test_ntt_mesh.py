@@ -40,3 +40,43 @@ def test_four_step_poly_mul_matches_host(ndev):
     b = [rng.randrange(P) for _ in range(75)]  # n=256 = 16x16
     got = four_step_poly_mul_ints(a, b, mesh=mesh)
     assert [g % P for g in got] == schoolbook(a, b, P)
+
+
+def test_enable_multichip_routes_poly_mul_through_mesh():
+    """enable_multichip registers the four-step NTT behind ops/ntt's
+    poly_mul_ints ladder, so the QAP polynomial hot spots (fastpoly ->
+    ntt.poly_mul_mod) shard without caller changes."""
+    import verifiable_mpc_tpu
+    from verifiable_mpc_tpu.ops import dispatch, ntt
+
+    saved = (
+        dict(dispatch._MSM_BACKENDS),
+        dict(dispatch._FOLD_BACKENDS),
+        ntt._MESH_BACKEND,
+    )
+    calls = []
+    try:
+        verifiable_mpc_tpu.enable_multichip(
+            pmesh.default_mesh(4), fused=False, min_poly_len=64
+        )
+        fn, min_n = ntt._MESH_BACKEND
+        ntt._MESH_BACKEND = (
+            lambda a, b: calls.append(1) or fn(a, b),
+            min_n,
+        )
+        a = [rng.randrange(P) for _ in range(40)]
+        b = [rng.randrange(P) for _ in range(30)]
+        got = ntt.poly_mul_mod(a, b, P)
+        assert calls, "mesh backend not consulted"
+        assert got == schoolbook(a, b, P)
+        # below the threshold the host ladder keeps the call
+        calls.clear()
+        small = ntt.poly_mul_mod(a[:4], b[:4], P)
+        assert not calls
+        assert small == schoolbook(a[:4], b[:4], P)
+    finally:
+        dispatch._MSM_BACKENDS.clear()
+        dispatch._MSM_BACKENDS.update(saved[0])
+        dispatch._FOLD_BACKENDS.clear()
+        dispatch._FOLD_BACKENDS.update(saved[1])
+        ntt._MESH_BACKEND = saved[2]

@@ -30,6 +30,29 @@ def test_sharded_msm_fused_matches_host():
     assert got == expect
 
 
+def test_sharded_msm_fused_bn_matches_host():
+    """BN256 G1 through the same curve-generic fused mesh machinery (the
+    enable_multichip BNPoint registration: Pinocchio's proof MSMs shard
+    like the Pedersen commitments)."""
+    from verifiable_mpc_tpu.groups.bn256 import ORDER, BNPoint
+    from verifiable_mpc_tpu.ops import bn_pallas
+
+    mesh = pm.default_mesh(2)
+    n = 10
+    g = BNPoint.generator
+    pts = [g ** rng.randrange(1, ORDER) for _ in range(n)]
+    scalars = [rng.randrange(1 << 7) for _ in range(n)]
+    scalars[1] = 0
+    got = pm.sharded_msm_fused(
+        pts, scalars, mesh=mesh, chunk=4, sub=1, interpret=True,
+        curve=bn_pallas.BN,
+    )
+    expect = BNPoint.identity
+    for p, s in zip(pts, scalars):
+        expect = expect * p ** s
+    assert got == expect
+
+
 def test_sharded_fold_fused_matches_host():
     mesh = pm.default_mesh(2)
     n = 10  # pads to 16

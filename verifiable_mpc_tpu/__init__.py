@@ -58,12 +58,20 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
     (ops/msm_pallas.py); the plain-XLA kernels (ops/msm.py) remain for
     batch-exp and as the `fused=False` fallback.
 
+    The result is a HYBRID backend — the performance-correct shape for a
+    network-attached accelerator: the C++ host tier handles batches below
+    ``min_msm_batch`` (the tunnel's ~25 ms round-trip floor exceeds host
+    compute there) and serves as the sub-cutover tail of the TPU-resident
+    protocol-4 engine (ac20/pivot_tpu.py), while everything at scale runs
+    on the TPU kernels.
+
     Imports jax lazily; host-only deployments never pay for it.
     """
     from . import native
+    from .ac20 import pivot_tpu
     from .ops import msm, ntt
 
-    native.enable_scalar_tier()  # host-side vector mod-p glue
+    native.register()  # C++ host tier: sub-batch fallback + engine tail
     msm.register(min_msm_batch)
     if fused:
         from .ops import bn2_pallas, bn_pallas, msm_pallas
@@ -71,12 +79,14 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
         msm_pallas.register(min_msm_batch)  # overrides msm/fold backends
         bn_pallas.register(min_msm_batch)  # BN256 G1 (Pinocchio MSMs)
         bn2_pallas.register(min_msm_batch)  # BN256 twist (keygen w-terms)
+        pivot_tpu.enable()  # TPU-resident protocol-4 engine
     ntt.register(min_poly_len)
 
 
 def enable_multichip(mesh=None, min_msm_batch: int = 64,
                      fused: bool | None = None, chunk: int | None = None,
-                     sub: int = 8, axis: str = "shard"):
+                     sub: int = 8, axis: str = "shard",
+                     min_poly_len: int = 1 << 14):
     """Shard the prover's MSM / generator-fold hot path over a device mesh.
 
     Registers ``parallel.mesh.sharded_msm[_fused]`` / ``sharded_fold[_fused]``
@@ -125,6 +135,33 @@ def enable_multichip(mesh=None, min_msm_batch: int = 64,
 
     dispatch.register_msm_backend(EdwardsPoint, _msm, min_msm_batch)
     dispatch.register_fold_backend(EdwardsPoint, _fold, min_msm_batch)
+
+    if fused:
+        # BN256 G1 shards through the same curve-generic fused machinery:
+        # Pinocchio's eight proof MSMs (reference pynocchio.py:228-273)
+        # partition over the mesh exactly like the Pedersen commitments
+        from .groups.bn256 import BNPoint
+        from .ops import bn_pallas
+
+        def _bn_msm(pts, ss):
+            return pmesh.sharded_msm_fused(
+                pts, ss, mesh=mesh, chunk=ck, sub=sub, axis=axis,
+                curve=bn_pallas.BN,
+            )
+
+        dispatch.register_msm_backend(BNPoint, _bn_msm, min_msm_batch)
+
+    # polynomial hot spots (QAP h-computation, subproduct trees): exact
+    # integer products >= min_poly_len route through the four-step
+    # distributed NTT (two all_to_all transposes per transform)
+    from .ops import ntt
+    from .parallel import ntt_mesh
+
+    ntt.register_mesh_backend(
+        lambda a, b: ntt_mesh.four_step_poly_mul_ints(a, b, mesh=mesh,
+                                                      axis=axis),
+        min_poly_len,
+    )
     return mesh
 
 

@@ -99,8 +99,15 @@ def protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof=None, round_i=0,
     :func:`_round_challenge_v2` (skips re-hashing g_hat/Q/L_tilde); c_prev
     seeds the chain (protocol 5 passes c1)."""
     proof = {} if proof is None else proof
-    from . import pivot_native
+    from . import pivot_native, pivot_tpu
 
+    if pivot_tpu.ENABLED:
+        res = pivot_tpu.try_protocol_4_prover(
+            g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
+            transcript=transcript, c_prev=c_prev,
+        )
+        if res is not None:
+            return res
     res = pivot_native.try_protocol_4_prover(
         g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
         transcript=transcript, c_prev=c_prev,
@@ -180,10 +187,16 @@ def protocol_4_verifier_v2(g_hat, k, Q, L_tilde, gf, proof, c_prev):
 def protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i=0,
                         transcript="v1", c_prev=0):
     """Verifier of Protocol 4, iterative (reference :148-202)."""
-    from . import pivot_native
+    from . import pivot_native, pivot_tpu
 
     if transcript == "v2":
         return protocol_4_verifier_v2(g_hat, k, Q, L_tilde, gf, proof, c_prev)
+    if pivot_tpu.ENABLED:
+        res = pivot_tpu.try_protocol_4_verifier(
+            g_hat, k, Q, L_tilde, gf, proof, round_i
+        )
+        if res is not None:
+            return res
     res = pivot_native.try_protocol_4_verifier(
         g_hat, k, Q, L_tilde, gf, proof, round_i
     )

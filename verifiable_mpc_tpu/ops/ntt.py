@@ -167,14 +167,29 @@ DEVICE_NTT_THRESHOLD = 1 << 18
 NATIVE_NTT_THRESHOLD = 64
 
 
+# mesh backend: sharded four-step NTT (parallel/ntt_mesh.py), registered by
+# enable_multichip() so the polynomial hot spots of the QAP pipeline
+# (reference qap_creator.py:96-176, pynocchio.py:203-211) scale over the
+# device mesh.  (fn(a, b) -> exact integer product coefficients, min_n)
+_MESH_BACKEND = None
+
+
+def register_mesh_backend(fn, min_n: int = 1 << 14):
+    global _MESH_BACKEND
+    _MESH_BACKEND = (fn, min_n)
+
+
 def poly_mul_ints(a, b, use_device=None) -> list:
     """Exact integer polynomial product.
 
-    Backend order: native C++ CRT-NTT (if built) -> TPU big-prime NTT for
-    very large sizes -> host-Python big-prime NTT."""
+    Backend order: mesh-sharded four-step NTT (if registered, large sizes)
+    -> native C++ CRT-NTT (if built) -> TPU big-prime NTT for very large
+    sizes -> host-Python big-prime NTT."""
     la, lb_ = len(a), len(b)
     out_len = la + lb_ - 1
     n = _next_pow2(out_len)
+    if _MESH_BACKEND is not None and n >= _MESH_BACKEND[1]:
+        return _MESH_BACKEND[0](a, b)[:out_len]
     if use_device is None:
         # the native C++ CRT NTT beats the device path at every size when a
         # toolchain exists: the TPU engine pays int<->limb conversion plus

@@ -57,7 +57,7 @@ def _sharded_msm_kernel(n: int, chunk: int, mesh: Mesh, axis: str):
         mesh=mesh,
         in_specs=((P(axis), P(axis), P(axis), P(axis)), P(None, axis)),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -98,7 +98,7 @@ def _sharded_fold_kernel(n: int, mesh: Mesh, axis: str):
             P(),
         ),
         out_specs=(P(axis), P(axis), P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -177,7 +177,7 @@ def _sharded_msm_fused_kernel(curve, n: int, chunk: int, sub: int, nw: int,
         mesh=mesh,
         in_specs=((P(axis, None),) * nc, P(None, axis)),
         out_specs=(P(),) * nc,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -247,7 +247,7 @@ def _sharded_fold_fused_kernel(curve, n: int, chunk: int, sub: int, nw: int,
         mesh=mesh,
         in_specs=((P(axis, None),) * nc, (P(axis, None),) * nc, P()),
         out_specs=P(None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

@@ -168,19 +168,19 @@ def _four_step(n: int, mesh, axis: str):
     fwd = jax.jit(
         shard_map(
             fwd_local, mesh=mesh, in_specs=(row_spec, col_spec),
-            out_specs=row_spec, check_rep=False,
+            out_specs=row_spec, check_vma=False,
         )
     )
     inv = jax.jit(
         shard_map(
             inv_local, mesh=mesh, in_specs=(row_spec, col_spec),
-            out_specs=row_spec, check_rep=False,
+            out_specs=row_spec, check_vma=False,
         )
     )
     mul = jax.jit(
         shard_map(
             ctx.mul, mesh=mesh, in_specs=(row_spec, row_spec),
-            out_specs=row_spec, check_rep=False,
+            out_specs=row_spec, check_vma=False,
         )
     )
     row_sharding = NamedSharding(mesh, row_spec)
