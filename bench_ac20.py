@@ -50,6 +50,13 @@ def main():
         help="v2: chained round challenges + fold-free verifier "
         "(faster, NOT reference-parity)",
     )
+    parser.add_argument(
+        "--repeat", type=int, default=1,
+        help="prove/verify N times and report the LAST iteration: the jit "
+        "backend pays one-time per-process tracing/compile-cache costs on "
+        "the first prove (the C++ tier is AOT — steady state is the "
+        "comparable number)",
+    )
     args = parser.parse_args()
 
     if args.tpu:
@@ -81,18 +88,22 @@ def main():
         file=sys.stderr,
     )
 
-    with phases.phase("generators"):
-        generators = cs.create_generators(g_length, cs.PivotChoice.compressed, group)
-    with phases.phase("prove"):
-        proof = cs.circuit_sat_prover(
-            generators, circuit, x, gf, cs.PivotChoice.compressed,
-            transcript=args.transcript,
-        )
-    with phases.phase("verify"):
-        verification = cs.circuit_sat_verifier(
-            proof, generators, circuit, gf, cs.PivotChoice.compressed,
-            transcript=args.transcript,
-        )
+    for rep in range(args.repeat):
+        tag = "" if rep == args.repeat - 1 else f"_warmup{rep}"
+        with phases.phase("generators" + tag):
+            generators = cs.create_generators(
+                g_length, cs.PivotChoice.compressed, group
+            )
+        with phases.phase("prove" + tag):
+            proof = cs.circuit_sat_prover(
+                generators, circuit, x, gf, cs.PivotChoice.compressed,
+                transcript=args.transcript,
+            )
+        with phases.phase("verify" + tag):
+            verification = cs.circuit_sat_verifier(
+                proof, generators, circuit, gf, cs.PivotChoice.compressed,
+                transcript=args.transcript,
+            )
 
     ok = all(
         v if not isinstance(v, dict) else all(v.values())

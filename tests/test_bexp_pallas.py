@@ -31,3 +31,29 @@ def test_bexp_pallas_bn_matches_host():
     exps = [rng.randrange(1 << 16) for _ in range(n)]
     got = bp.batch_exp(base, exps, chunk=8, sub=1, interpret=True)
     assert got == [base ** e for e in exps]
+
+
+def test_bexp_comb_ed_matches_host():
+    """Fixed-base comb (per-window tables, no doubling ladder): the
+    dispatch backend for generator/CRS setup and SNARK keygen."""
+    n = 11
+    g = EdwardsPoint.generator
+    base = g ** rng.randrange(1, ELL)
+    exps = [rng.randrange(1 << 16) for _ in range(n)]
+    exps[0] = 0  # identity lane
+    exps[1] = (1 << 16) - 1  # all-max digits exercise the borrow recode
+    got = mp.batch_exp_comb(base, exps, chunk=8, sub=2, interpret=True)
+    assert got == [base ** e for e in exps]
+    # table cache: the per-base device table was built and retained
+    pk = mp._comb_point_key(mp.ED, base)
+    assert any(k[: len(pk)] == pk for k in mp._COMB_TABLES)
+
+
+def test_bexp_comb_bn_matches_host():
+    n = 8
+    g = BNPoint.generator
+    base = g ** rng.randrange(1, BN_ORDER)
+    exps = [rng.randrange(1 << 16) for _ in range(n)]
+    exps[0] = 0
+    got = bp.batch_exp_comb(base, exps, chunk=8, sub=1, interpret=True)
+    assert got == [base ** e for e in exps]

@@ -49,6 +49,32 @@ _CUTOVER = 4096  # smallest half-size folded on the TPU
 
 _L = 16  # 16-bit limbs per 256-bit coordinate
 
+# VMPC_ENGINE_TIMING=1: per-step wall-clock prints (perf diagnosis)
+import os as _os
+import time as _time
+
+_TIMING = bool(_os.environ.get("VMPC_ENGINE_TIMING"))
+
+
+class _T:
+    __slots__ = ("label", "t0")
+
+    def __init__(self, label):
+        self.label = label
+
+    def __enter__(self):
+        if _TIMING:
+            self.t0 = _time.perf_counter()
+        return self
+
+    def __exit__(self, *a):
+        if _TIMING:
+            print(
+                f"    [engine] {self.label}: "
+                f"{_time.perf_counter() - self.t0:7.3f}s",
+                flush=True,
+            )
+
 
 def enable():
     """Called by verifiable_mpc_tpu.enable_tpu()."""
@@ -251,10 +277,11 @@ def _msm_resident(g_half, k_enc, scalars_u64, y_can: int):
     target = max(chunk * sub, mp._pow2_pad(n_bases, 1))
     pts = _msm_pad_call(n_bases, target)(g_half, k_enc)
 
-    vals = native._u64x4_to_ints(scalars_u64) + [y_can]
-    digits_np = mp._scalar_digits_signed(
-        vals + [0] * (target - n_bases), ELL
-    )
+    with _T(f"  digits n={n_bases}"):
+        vals = native._u64x4_to_ints(scalars_u64) + [y_can]
+        digits_np = mp._scalar_digits_signed(
+            vals + [0] * (target - n_bases), ELL
+        )
     nonzero = np.flatnonzero(digits_np.any(axis=1))
     windows_needed = mp.NWINDOWS - nonzero[0] if nonzero.size else 1
     nw = 8 if windows_needed <= 8 else mp.NWINDOWS
@@ -340,26 +367,32 @@ def try_protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
     while True:
         n = g_dev[0].shape[0]
         half = n // 2
-        y_a = native.mod_dot_arr(l_arr[half:], z_arr[:half], ELL)
-        y_b = native.mod_dot_arr(l_arr[:half], z_arr[half:], ELL)
+        if _TIMING:
+            print(f"  [engine] round {round_i} n={n}", flush=True)
+        with _T("dots"):
+            y_a = native.mod_dot_arr(l_arr[half:], z_arr[:half], ELL)
+            y_b = native.mod_dot_arr(l_arr[:half], z_arr[half:], ELL)
         g_lo = tuple(a[:half] for a in g_dev)
         g_hi = tuple(a[half:] for a in g_dev)
-        A_dev = _msm_resident(g_hi, k_enc, z_arr[:half], y_a)
-        B_dev = _msm_resident(g_lo, k_enc, z_arr[half:], y_b)
-        AB = np.asarray(stack2(A_dev, B_dev))  # ONE blocking fetch
+        with _T("msm_launch"):
+            A_dev = _msm_resident(g_hi, k_enc, z_arr[:half], y_a)
+            B_dev = _msm_resident(g_lo, k_enc, z_arr[half:], y_b)
+        with _T("msm_fetch"):
+            AB = np.asarray(stack2(A_dev, B_dev))  # ONE blocking fetch
         A = _decode_pt(AB[0])
         B = _decode_pt(AB[1])
         proof["A" + str(round_i)] = A
         proof["B" + str(round_i)] = B
 
-        if transcript == "v2":
-            from .compressed_pivot import _round_challenge_v2
+        with _T("challenge"):
+            if transcript == "v2":
+                from .compressed_pivot import _round_challenge_v2
 
-            c = c_prev = _round_challenge_v2(A, B, c_prev, order)
-        else:
-            c = pivot_native._round_challenge_resident(
-                A, B, g_host, k, Q, l_arr, order, l_obj
-            )
+                c = c_prev = _round_challenge_v2(A, B, c_prev, order)
+            else:
+                c = pivot_native._round_challenge_resident(
+                    A, B, g_host, k, Q, l_arr, order, l_obj
+                )
         l_obj = None
 
         last_tpu_round = half // 2 < _CUTOVER
@@ -368,14 +401,20 @@ def try_protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
         want_dl = transcript != "v2" or last_tpu_round
         fn = _fold_norm_call(half, 128, 8, mp.NWINDOWS, want_dl)
         if want_dl:
-            g_dev, dl = fn(g_dev, _fold_digits(c))
-            g_host = _dl_to_rows(np.asarray(dl))  # ONE blocking fetch
+            with _T("fold_launch"):
+                g_dev, dl = fn(g_dev, _fold_digits(c))
+            with _T("fold_fetch"):
+                dl_np = np.asarray(dl)  # ONE blocking fetch
+            with _T("dl_pack"):
+                g_host = _dl_to_rows(dl_np)
         else:
-            g_dev = fn(g_dev, _fold_digits(c))
+            with _T("fold_launch"):
+                g_dev = fn(g_dev, _fold_digits(c))
 
-        Q = A * (Q ** c) * (B ** (c ** 2))
-        l_arr = native.mod_axpy_arr(c, l_arr[:half], l_arr[half:], ELL)
-        z_arr = native.mod_axpy_arr(c, z_arr[half:], z_arr[:half], ELL)
+        with _T("host_tail"):
+            Q = A * (Q ** c) * (B ** (c ** 2))
+            l_arr = native.mod_axpy_arr(c, l_arr[:half], l_arr[half:], ELL)
+            z_arr = native.mod_axpy_arr(c, z_arr[half:], z_arr[:half], ELL)
         round_i += 1
 
         if last_tpu_round:

@@ -216,6 +216,13 @@ def batch_exp(base, exponents, chunk: int = 128, sub: int = 8,
     return mp._batch_exp_generic(BN, base, exponents, chunk, sub, interpret)
 
 
+def batch_exp_comb(base, exponents, chunk: int = 128, sub: int = 8,
+                   interpret: bool | None = None) -> list:
+    """[base ** e] via the fixed-base comb kernel (no doubling ladder)."""
+    return mp._batch_exp_comb_generic(BN, base, exponents, chunk, sub,
+                                      interpret)
+
+
 def register(min_batch: int = 512, chunk: int = 128):
     """Install the fused kernels as the BN256-G1 dispatch backends."""
     dispatch.register_msm_backend(
@@ -225,5 +232,5 @@ def register(min_batch: int = 512, chunk: int = 128):
         BNPoint, lambda gl, gr, c: fold(gl, gr, c, chunk=chunk), min_batch
     )
     dispatch.register_batch_exp_backend(
-        BNPoint, lambda b, e: batch_exp(b, e, chunk=chunk), min_batch
+        BNPoint, lambda b, e: batch_exp_comb(b, e, chunk=chunk), min_batch
     )

@@ -230,6 +230,22 @@ class _EdAdapter:
     encode = staticmethod(ced.encode_points_plain)
 
     @staticmethod
+    def encode_pre(points):
+        """Host-side precomputed form (Y+X, Y-X, 2dT, 2Z) — table entries
+        uploaded ready for mixed adds (comb kernel)."""
+        from ..groups.edwards import D, P
+        from . import limbs as _lb
+
+        two_d = 2 * D % P
+        cols = ([], [], [], [])
+        for pt in points:
+            cols[0].append((pt.y + pt.x) % P)
+            cols[1].append((pt.y - pt.x) % P)
+            cols[2].append(two_d * pt.t % P)
+            cols[3].append(2 * pt.z % P)
+        return tuple(jnp.asarray(_lb.ints_to_limbs(v)) for v in cols)
+
+    @staticmethod
     def decode_one(dev):
         return ced.decode_point_plain(dev)
 
@@ -940,6 +956,183 @@ def batch_exp(base, exponents, chunk: int = 128, sub: int = 8,
     return _batch_exp_generic(ED, base, exponents, chunk, sub, interpret)
 
 
+# ---------------------------------------------------------------------------
+# fixed-base COMB batch exponentiation: per-window precomputed tables kill
+# the doubling ladder entirely.
+#
+# The Horner kernel above pays 4 dedicated doublings per window per lane —
+# ~7/8 of its group work.  With a FIXED base the per-window multiples
+# base^(16^w * d) (w < 64, |d| <= 8) are a one-time HOST precomputation
+# (~512 group ops, cached per base), and the kernel is just
+#     out_i = prod_w  T[w][digit_w(e_i)]
+# — one table-select plus one mixed add per window, no doublings: ~4x less
+# device work per exponent.  This is the hot path of generator/CRS setup
+# (reference circuit_sat_r1cs.py:47-93, knowledge_of_exponent.py:50-72)
+# and Pinocchio key generation (pynocchio.py:101-200).
+# ---------------------------------------------------------------------------
+
+
+def _make_bexp_comb_kernel(curve):
+    nc = curve.NC
+    has_pre = hasattr(curve, "add_pre")
+
+    def kernel(*refs):
+        """Signed-window comb: digits [W, SUB, C] select from the per-window
+        host table [W * TABLE_S, L] (lane-broadcast), one add per window."""
+        dig_ref = refs[0]
+        tbl = refs[1 : 1 + nc]
+        outs = refs[1 + nc : 1 + 2 * nc]
+
+        k = curve.consts()
+        nw = dig_ref.shape[0]
+        sub, chunk = dig_ref.shape[1], dig_ref.shape[2]
+        shape = (L, sub, chunk)
+
+        def wbody(w, acc):
+            digs = dig_ref[w]  # [SUB, C] in [-7, 8]
+            mags = jnp.abs(digs)
+
+            def sbody(m, sel):
+                mask = (mags == m)[None]
+                out = []
+                for ref, sv in zip(tbl, sel):
+                    # one load carrying the dynamic w*TABLE_S + m index;
+                    # the table is stored lane-broadcast ([.., L, C]) so
+                    # the minor dim stays the 128-lane axis (a [L] ->
+                    # [L, 1, 1] shape cast has no Mosaic lowering)
+                    e = jnp.broadcast_to(
+                        ref[w * TABLE_S + m][:, None, :], shape
+                    )
+                    out.append(jnp.where(mask, e, sv))
+                return tuple(out)
+
+            if has_pre:
+                sel = jax.lax.fori_loop(
+                    1, TABLE_S, sbody, curve.pre_identity((sub, chunk), k)
+                )
+                sel = curve.neg_where_pre((digs < 0)[None], sel, k)
+                return curve.add_pre(acc, sel, k)
+            sel = jax.lax.fori_loop(
+                1, TABLE_S, sbody, curve.identity((sub, chunk), k)
+            )
+            sel = curve.neg_where((digs < 0)[None], sel, k)
+            return curve.add(acc, sel, k)
+
+        acc = jax.lax.fori_loop(0, nw, wbody, curve.identity((sub, chunk), k))
+        for ref, arr in zip(outs, acc):
+            ref[:] = arr
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _bexp_comb_pallas(curve, chunk: int, sub: int, nw: int, interpret: bool):
+    nc = curve.NC
+    pt_shape = jax.ShapeDtypeStruct((L, sub, chunk), jnp.uint32)
+    return pl.pallas_call(
+        _make_bexp_comb_kernel(curve),
+        out_shape=[pt_shape] * nc,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bexp_comb_call(curve, chunk: int, sub: int, nw: int, interpret: bool,
+                    packed: bool = False):
+    call = _bexp_comb_pallas(curve, chunk, sub, nw, interpret)
+    rows = nw * TABLE_S
+
+    def step(digits, tbl):
+        d = _unpack_digits(digits, nw) if packed else digits.astype(jnp.int32)
+        # lane-broadcast the [rows, L] host table on device (see kernel)
+        tb = tuple(
+            jnp.broadcast_to(a[:, :, None], (rows, L, chunk)) for a in tbl
+        )
+        return tuple(call(d, *tb))
+
+    return jax.jit(step)
+
+
+_COMB_TABLES = {}  # (curve.name, nw, point-key) -> device table
+
+
+def _comb_point_key(curve, base):
+    b = base.normalize() if hasattr(base, "normalize") else base
+    return (curve.name, repr(b))
+
+
+def _comb_table_build(curve, base, nw: int):
+    """Host table build for :func:`comb_table`: rows MSB-first, row w
+    holding d * (16^(nw-1-w) * base) for d = 0..8, uploaded once in
+    precomputed form when the curve supports mixed adds (~nw * 8 host
+    group ops, cached per base — CRS/keygen flows batch-exponentiate the
+    SAME group generator)."""
+    ident = curve.group_cls.identity
+    rows = []
+    base_w = base
+    for _ in range(nw):
+        row = [ident, base_w]
+        for _m in range(2, TABLE_S):
+            row.append(row[-1] * base_w)
+        rows.append(row)
+        eight = row[TABLE_S - 1]  # 8 * base_w
+        base_w = eight * eight  # 16 * base_w
+    rows.reverse()  # MSB-first to match the trimmed digit stream
+    flat = [pt for row in rows for pt in row]
+    if hasattr(curve, "encode_pre"):
+        enc = curve.encode_pre(flat)
+    else:
+        enc = curve.encode(flat)
+    return tuple(jnp.asarray(a) for a in enc)
+
+
+def comb_table(curve, base, nw: int):
+    key = _comb_point_key(curve, base) + (nw,)
+    hit = _COMB_TABLES.get(key)
+    if hit is None:
+        hit = _COMB_TABLES[key] = _comb_table_build(curve, base, nw)
+    return hit
+
+
+def _batch_exp_comb_generic(curve, base, exponents, chunk, sub, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = len(exponents)
+    target = max(chunk * sub, _pow2_pad(n, 1))
+    exps = [int(e) % curve.order for e in exponents] + [0] * (target - n)
+    steps = target // (chunk * sub)
+
+    digits_np = _scalar_digits_signed(exps, curve.order)  # [W, target]
+    nonzero = np.flatnonzero(digits_np.any(axis=1))
+    windows_needed = NWINDOWS - nonzero[0] if nonzero.size else 1
+    if interpret:  # exact trim keeps interpret-mode tests fast
+        nw = max(1, int(windows_needed))
+    else:
+        nw = 8 if windows_needed <= 8 else NWINDOWS
+    trimmed = digits_np[NWINDOWS - nw:]
+    packed = not interpret and nw % 2 == 0
+    if packed:
+        trimmed = _pack_digits(trimmed)
+    digits = jnp.asarray(trimmed.reshape(-1, steps, sub, chunk))
+
+    tbl = comb_table(curve, base, nw)
+    step_fn = _bexp_comb_call(curve, chunk, sub, nw, interpret, packed)
+    outs = [step_fn(digits[:, i], tbl) for i in range(steps)]
+    stacked = np.asarray(
+        _bexp_finish_call(curve, steps, chunk, sub)(outs)
+    )
+    return curve.decode_many(tuple(stacked))[:n]
+
+
+def batch_exp_comb(base, exponents, chunk: int = 128, sub: int = 8,
+                   interpret: bool | None = None) -> list:
+    """[base ** e] via the fixed-base comb kernel (Ed25519)."""
+    return _batch_exp_comb_generic(ED, base, exponents, chunk, sub, interpret)
+
+
 def register(min_batch: int = 512, chunk: int = 128):
     """Install the fused kernels as the Ed25519 dispatch backends."""
     dispatch.register_msm_backend(
@@ -949,5 +1142,5 @@ def register(min_batch: int = 512, chunk: int = 128):
         EdwardsPoint, lambda gl, gr, c: fold(gl, gr, c, chunk=chunk), min_batch
     )
     dispatch.register_batch_exp_backend(
-        EdwardsPoint, lambda b, e: batch_exp(b, e, chunk=chunk), min_batch
+        EdwardsPoint, lambda b, e: batch_exp_comb(b, e, chunk=chunk), min_batch
     )
