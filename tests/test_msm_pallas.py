@@ -120,6 +120,21 @@ def test_signed_recoding_roundtrip():
         assert int(d64.min()) >= -7 and int(d64.max()) <= 8
 
 
+def test_vectorized_recode_matches_object_path():
+    """_scalar_digits_signed_any (C u64x4 conversion + vectorized recode)
+    is byte-identical to the object-int reference recode, for Ed25519 and
+    BN256 orders, negative ints included (dispatch passes signed ints)."""
+    from verifiable_mpc_tpu.groups.bn256 import ORDER as BN_ORDER
+
+    for order in (ELL, BN_ORDER):
+        ss = [rng.randrange(order) for _ in range(300)]
+        ss += [0, 1, -1, order - 1, order // 2, order // 2 + 1, -5, 1 << 255]
+        ss += [(order - 8 * (1 << (4 * j))) % order for j in range(0, 60, 7)]
+        got = mp._scalar_digits_signed_any(ss, order)
+        expect = mp._scalar_digits_signed(ss, order)
+        assert np.array_equal(got, expect), order
+
+
 def test_recoded_digits_pack_roundtrip():
     """pack(unpack) is the identity on REAL recoded digits (uniform scalars:
     ~half the columns are negated, so this covers the distribution that used

@@ -66,6 +66,17 @@ def test_canon25519_reduces_relaxed_values():
         assert _limbs_to_int(out[:, i]) == v % ED_P, i
 
 
+def test_vectorized_signed_digits_match_reference_recode():
+    from verifiable_mpc_tpu.ops import msm_pallas as mp
+
+    vals = [rng.randrange(ELL) for _ in range(200)]
+    vals += [0, 1, ELL - 1, ELL // 2, ELL // 2 + 1, (1 << 252) - 1]
+    arr = native._ints_to_u64x4(vals, ELL)
+    got = pt._digits_signed_u64x4(arr)
+    expect = mp._scalar_digits_signed(vals, ELL)
+    assert np.array_equal(got, expect)
+
+
 def test_fold_digits_match_fold_generic_stream():
     from verifiable_mpc_tpu.ops.msm import NWINDOWS, _scalar_digits
 

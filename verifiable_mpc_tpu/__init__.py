@@ -80,6 +80,40 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
         bn_pallas.register(min_msm_batch)  # BN256 G1 (Pinocchio MSMs)
         bn2_pallas.register(min_msm_batch)  # BN256 twist (keygen w-terms)
         pivot_tpu.enable()  # TPU-resident protocol-4 engine
+
+        if native.REGISTERED:
+            # tiered dispatch: below the TPU batch threshold the C++ tier
+            # serves the call (the compression tail, tiny commitments) —
+            # otherwise those batches fall to the pure-Python tree
+            # reduction, which costs seconds per prove at 2^16
+            from .groups.bn256 import BNPoint, BNTwistPoint
+            from .groups.edwards import EdwardsPoint
+            from .ops import dispatch
+
+            def _tier(table, cls, native_fn, pick):
+                tpu_fn, tmin = table[cls]
+
+                def fn(*args, _t=tpu_fn, _m=tmin, _n=native_fn, _p=pick):
+                    if len(_p(args)) >= _m:
+                        return _t(*args)
+                    return _n(*args)
+
+                table[cls] = (fn, 8)
+
+            first = lambda a: a[0]
+            exps = lambda a: a[1]
+            _tier(dispatch._MSM_BACKENDS, EdwardsPoint, native.ed_msm, first)
+            _tier(dispatch._FOLD_BACKENDS, EdwardsPoint, native.ed_fold,
+                  first)
+            _tier(dispatch._BATCH_EXP_BACKENDS, EdwardsPoint,
+                  native.ed_batch_exp, exps)
+            _tier(dispatch._MSM_BACKENDS, BNPoint, native.bn_msm, first)
+            _tier(dispatch._BATCH_EXP_BACKENDS, BNPoint,
+                  native.bn_batch_exp, exps)
+            _tier(dispatch._MSM_BACKENDS, BNTwistPoint, native.bn2_msm,
+                  first)
+            _tier(dispatch._BATCH_EXP_BACKENDS, BNTwistPoint,
+                  native.bn2_batch_exp, exps)
     ntt.register(min_poly_len)
 
 

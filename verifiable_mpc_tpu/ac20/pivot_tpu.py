@@ -90,33 +90,24 @@ def enable():
 
 def _rows_to_coords(rows: np.ndarray):
     """[n, 16] u64 (x, y, z, t; 4 u64 limbs each) -> 4 x [n, 16] u32
-    16-bit-limb arrays (batch-major, the msm_pallas device layout)."""
+    16-bit-limb arrays (batch-major, the msm_pallas device layout).
+
+    Little-endian viewing: each u64 limb's bytes ARE its four 16-bit limbs
+    in order, so the conversion is a reinterpret + slice + widen."""
     import jax.numpy as jnp
 
-    out = []
-    for j in range(4):
-        limbs64 = rows[:, 4 * j : 4 * (j + 1)]  # [n, 4]
-        parts = [
-            ((limbs64 >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(
-                np.uint32
-            )
-            for k in range(4)
-        ]
-        # interleave: u64 limb i contributes 16-bit limbs 4i..4i+3
-        arr = np.empty((rows.shape[0], _L), np.uint32)
-        for k in range(4):
-            arr[:, k::4] = parts[k]
-        out.append(jnp.asarray(arr))
-    return tuple(out)
+    u16 = np.ascontiguousarray(rows, np.uint64).view(np.uint16)  # [n, 64]
+    return tuple(
+        jnp.asarray(u16[:, 16 * j : 16 * (j + 1)].astype(np.uint32))
+        for j in range(4)
+    )
 
 
 def _u16_to_u64x4(limbs: np.ndarray) -> np.ndarray:
-    """[n, 16] 16-bit limbs (any int dtype) -> [n, 4] u64."""
-    v = limbs.astype(np.uint64)
-    out = np.zeros((limbs.shape[0], 4), np.uint64)
-    for k in range(4):
-        out += v[:, k::4] << np.uint64(16 * k)
-    return out
+    """[n, 16] 16-bit limbs (any int dtype) -> [n, 4] u64 (little-endian
+    reinterpret, see _rows_to_coords)."""
+    v = np.ascontiguousarray(limbs.astype(np.uint16))
+    return v.view(np.uint64)
 
 
 def _dl_to_rows(dl: np.ndarray) -> np.ndarray:
@@ -129,6 +120,14 @@ def _dl_to_rows(dl: np.ndarray) -> np.ndarray:
     rows[:, 8] = 1  # z = 1
     rows[:, 12:16] = _u16_to_u64x4(dl[2])
     return rows
+
+
+def _digits_signed_u64x4(arr: np.ndarray) -> np.ndarray:
+    """[m, 4] u64 canonical residues -> [64, m] int8 signed digits (the
+    vectorized recode shared with the dispatch kernels)."""
+    from ..ops import msm_pallas as mp
+
+    return mp._digits_signed_from_u64x4(arr, ELL)
 
 
 # ---------------------------------------------------------------------------
@@ -278,10 +277,10 @@ def _msm_resident(g_half, k_enc, scalars_u64, y_can: int):
     pts = _msm_pad_call(n_bases, target)(g_half, k_enc)
 
     with _T(f"  digits n={n_bases}"):
-        vals = native._u64x4_to_ints(scalars_u64) + [y_can]
-        digits_np = mp._scalar_digits_signed(
-            vals + [0] * (target - n_bases), ELL
-        )
+        rows = np.zeros((target, 4), np.uint64)
+        rows[: n_bases - 1] = scalars_u64
+        rows[n_bases - 1] = native._ints_to_u64x4([y_can % ELL], ELL)[0]
+        digits_np = _digits_signed_u64x4(rows)
     nonzero = np.flatnonzero(digits_np.any(axis=1))
     windows_needed = mp.NWINDOWS - nonzero[0] if nonzero.size else 1
     nw = 8 if windows_needed <= 8 else mp.NWINDOWS

@@ -159,6 +159,19 @@ def encode_points_plain(points) -> tuple:
         ys.append(pt.y)
         zs.append(pt.z)
         ts.append(pt.t)
+    from .. import native
+
+    if native.fastser() is not None:
+        # C bigint conversion + little-endian u16 reinterpret: one pass
+        # instead of a per-int to_bytes loop (1.5 s per 2^18-point encode)
+        return tuple(
+            jnp.asarray(
+                native._ints_to_u64x4(v, ED_P)
+                .view(np.uint16)
+                .astype(np.uint32)
+            )
+            for v in (xs, ys, zs, ts)
+        )
     return tuple(jnp.asarray(lb.ints_to_limbs(v)) for v in (xs, ys, zs, ts))
 
 

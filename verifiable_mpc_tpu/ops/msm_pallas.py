@@ -89,6 +89,74 @@ def _scalar_digits_signed(scalars, order: int = ELL) -> np.ndarray:
     return np.ascontiguousarray(out[::-1].astype(np.int8))  # MSB first
 
 
+@functools.lru_cache(maxsize=None)
+def _order_limbs(order: int):
+    mask = 0xFFFFFFFFFFFFFFFF
+    o = np.array([(order >> (64 * i)) & mask for i in range(4)], np.uint64)
+    h = np.array(
+        [((order // 2) >> (64 * i)) & mask for i in range(4)], np.uint64
+    )
+    return o, h
+
+
+def _digits_signed_from_u64x4(arr: np.ndarray, order: int) -> np.ndarray:
+    """[m, 4] u64 canonical residues (< order) -> [64, m] int8 signed
+    digits, byte-identical to :func:`_scalar_digits_signed` but fully
+    vectorized — the object-int path costs ~1 us/scalar, real time on the
+    2^17-scalar protocol rounds."""
+    o_l, h_l = _order_limbs(order)
+    a = np.ascontiguousarray(arr, np.uint64)
+    m = a.shape[0]
+    neg = np.zeros(m, bool)
+    tie = np.ones(m, bool)
+    for j in (3, 2, 1, 0):
+        gt = a[:, j] > h_l[j]
+        lt = a[:, j] < h_l[j]
+        neg |= tie & gt
+        tie &= ~gt & ~lt
+    bal = a.copy()
+    if neg.any():
+        borrow = np.zeros(m, np.uint64)
+        sub = np.empty_like(a)
+        for j in range(4):
+            aj = a[:, j]
+            sub[:, j] = o_l[j] - aj - borrow  # u64 wraparound = 2's comp
+            borrow = (
+                (aj > o_l[j]) | ((aj == o_l[j]) & (borrow == 1))
+            ).astype(np.uint64)
+        bal[neg] = sub[neg]
+    # int16 throughout: a [64, m] int64 intermediate is 134 MB at the
+    # 2^18-scalar commitment MSM — memory traffic, not ALU, bounds this
+    digs = np.empty((64, m), np.int16)
+    for j in range(4):
+        col = bal[:, j]
+        for k in range(16):
+            digs[16 * j + k] = (
+                (col >> np.uint64(4 * k)) & np.uint64(0xF)
+            ).astype(np.int16)
+    thresh = np.where(neg, np.int16(8), np.int16(9))
+    carry = np.zeros(m, np.int16)
+    for w in range(64):
+        d = digs[w] + carry
+        carry = (d >= thresh).astype(np.int16)
+        digs[w] = d - 16 * carry
+    assert not carry.any(), "scalar overflow in signed recoding"
+    digs[:, neg] = -digs[:, neg]
+    return np.ascontiguousarray(digs[::-1].astype(np.int8))
+
+
+def _scalar_digits_signed_any(scalars, order: int) -> np.ndarray:
+    """Signed digit stream for arbitrary int/field scalars: C bigint ->
+    u64x4 conversion + the vectorized recode when the native extension is
+    present; the object-int reference path otherwise."""
+    from .. import native
+
+    if native.fastser() is not None and order.bit_length() <= 256:
+        arr = native._ints_to_u64x4([int(s) for s in scalars], order)
+        return _digits_signed_from_u64x4(arr, order)
+    return _scalar_digits_signed(scalars, order)
+
+
 # ---------------------------------------------------------------------------
 # Ed25519 curve adapter (extended coordinates, a=-1 unified formulas) in the
 # PLAIN pseudo-Mersenne domain: field ops are limbs_lm.*25519 (x38 folding,
@@ -566,7 +634,7 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
         points = list(points) + [curve.group_cls.identity] * pad
         scalars = list(scalars) + [0] * pad
     dev_pts = curve.encode(points)
-    digits_np = _scalar_digits_signed(scalars, curve.order)  # [W, n] MSB 1st
+    digits_np = _scalar_digits_signed_any(scalars, curve.order)  # [W, n] MSB 1st
     # trim all-zero leading windows (rounded to a sublane multiple of 8):
     # full-size scalars keep all 64, but short exponents (tests, small
     # bit-length batches) shrink the whole [L, W, C] working set
@@ -929,7 +997,7 @@ def _batch_exp_generic(curve, base, exponents, chunk, sub, interpret):
         for a in enc
     )
 
-    digits_np = _scalar_digits_signed(exps, curve.order)  # [W, target]
+    digits_np = _scalar_digits_signed_any(exps, curve.order)  # [W, target]
     nonzero = np.flatnonzero(digits_np.any(axis=1))
     windows_needed = NWINDOWS - nonzero[0] if nonzero.size else 1
     if interpret:  # exact trim keeps interpret-mode tests fast
@@ -1105,7 +1173,7 @@ def _batch_exp_comb_generic(curve, base, exponents, chunk, sub, interpret):
     exps = [int(e) % curve.order for e in exponents] + [0] * (target - n)
     steps = target // (chunk * sub)
 
-    digits_np = _scalar_digits_signed(exps, curve.order)  # [W, target]
+    digits_np = _scalar_digits_signed_any(exps, curve.order)  # [W, target]
     nonzero = np.flatnonzero(digits_np.any(axis=1))
     windows_needed = NWINDOWS - nonzero[0] if nonzero.size else 1
     if interpret:  # exact trim keeps interpret-mode tests fast

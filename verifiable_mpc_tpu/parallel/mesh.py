@@ -200,7 +200,7 @@ def sharded_msm_fused(points, scalars, mesh=None, chunk: int = 128,
         scalars = list(scalars) + [0] * pad
     n += pad
     dev_pts = curve.encode(points)
-    digits_np = mp._scalar_digits_signed(scalars, curve.order)
+    digits_np = mp._scalar_digits_signed_any(scalars, curve.order)
     nonzero = np.flatnonzero(digits_np.any(axis=1))
     windows_needed = msm_mod.NWINDOWS - nonzero[0] if nonzero.size else 1
     if interpret:  # exact trim keeps interpret-mode tests fast
