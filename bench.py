@@ -167,7 +167,13 @@ def main():
     import jax.numpy as jnp
 
     digits = jnp.asarray(digits_host)
-    kern = mp._build(n, chunk, sub, msm_mod.NWINDOWS, False)
+    # whole-pipeline jit (one dispatch per MSM): the production dispatch
+    # path — the per-step host loop paid ~3 ms of tunnel dispatch per
+    # 4096-point tile, most of the wall time at 2^16
+    fused_kern = mp._build_for_fused(
+        mp.ED, n, chunk, sub, msm_mod.NWINDOWS, False
+    )
+    kern = lambda p, d: fused_kern(tuple(p), d)  # noqa: E731
     t0 = time.perf_counter()
     out = kern(dev_pts, digits)
     jax.block_until_ready(out)

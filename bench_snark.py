@@ -48,6 +48,12 @@ def main():
     parser.add_argument("-M", type=int, default=3,
                         help="parties (trinocchio mode)")
     parser.add_argument("--tpu", action="store_true")
+    parser.add_argument(
+        "--repeat", type=int, default=1,
+        help="keygen/prove/verify N times and report the LAST iteration "
+        "(the jit backend pays per-process tracing/compile once; the C++ "
+        "tier is AOT — steady state is the comparable number)",
+    )
     args = parser.parse_args()
 
     if args.tpu:
@@ -74,23 +80,31 @@ def main():
         qap = qf.SparseQAP(code, gf)
     print(f"QAP size m={qap.m} degree d={qap.d}", file=sys.stderr)
 
-    with phases.phase("keygen"):
-        td = pynocchio.Trapdoor(modulus)
-        gen = pynocchio.Generators(td, bn_curve.generator, bn_twist.generator)
-        evalkey, verikey = qf.generate_keys_fast(td, qap, gen)
+    for rep in range(args.repeat if not args.trinocchio else 1):
+        tag = "" if rep == args.repeat - 1 or args.trinocchio else (
+            f"_warmup{rep}"
+        )
+        with phases.phase("keygen" + tag):
+            td = pynocchio.Trapdoor(modulus)
+            gen = pynocchio.Generators(
+                td, bn_curve.generator, bn_twist.generator
+            )
+            evalkey, verikey = qf.generate_keys_fast(td, qap, gen)
 
-    inputs = [gf(3)]
-    with phases.phase("witness"):
-        c = qap.calculate_witness(inputs)
+        inputs = [gf(3)]
+        with phases.phase("witness" + tag):
+            c = qap.calculate_witness(inputs)
 
-    if not args.trinocchio:
-        with phases.phase("prove"):
+        if args.trinocchio:
+            break
+        with phases.phase("prove" + tag):
             deltas = pynocchio.SampleDeltas(modulus)
             proof = qf.compute_proof_fast(qap, c, evalkey, deltas)
-        with phases.phase("verify"):
+        with phases.phase("verify" + tag):
             verifications = pynocchio.verify(
                 qap, verikey, proof, c[: qap.out_ix + 1]
             )
+    if not args.trinocchio:
         metric = f"pynocchio_prove_seconds_2^{args.log2_muls}_muls"
     else:
         from verifiable_mpc_tpu.mpc import shamir

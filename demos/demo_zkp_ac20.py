@@ -96,7 +96,14 @@ if __name__ == "__main__":
                         help="use pivot based on Knowledge-of-Exponent assumption and BN256 curves")
     parser.add_argument("--save-proof", type=str, default=None,
                         help="serialize the proof to this path and verify the reloaded artifact")
+    parser.add_argument("--pure-python", action="store_true",
+                        help="keep the pure-Python group arithmetic "
+                        "(default: the C++ host tier when available)")
     args = parser.parse_args()
+    if not args.pure_python:
+        import verifiable_mpc_tpu
+
+        verifiable_mpc_tpu.enable_native()
     if args.elliptic:
         GROUP = "Elliptic"
     elif args.basic:

@@ -163,7 +163,15 @@ if __name__ == "__main__":
                         help="with --tcp: this process runs party I")
     parser.add_argument("--port", type=int, default=23365,
                         help="with --tcp: base port of the party mesh")
+    parser.add_argument("--pure-python", action="store_true",
+                        help="keep the pure-Python group arithmetic "
+                        "(default: the C++ host tier when available — each "
+                        "party's local MSM/fold/exponentiation work)")
     args = parser.parse_args()
+    if not args.pure_python:
+        import verifiable_mpc_tpu
+
+        verifiable_mpc_tpu.enable_native()
     if args.elliptic:
         GROUP = "Elliptic"
     elif args.basic:

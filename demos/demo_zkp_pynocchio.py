@@ -68,4 +68,15 @@ def qeval(x):
 
 
 if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pure-python", action="store_true",
+                        help="keep the pure-Python group arithmetic "
+                        "(default: the C++ host tier when available)")
+    args = parser.parse_args()
+    if not args.pure_python:
+        import verifiable_mpc_tpu
+
+        verifiable_mpc_tpu.enable_native()
     main()

@@ -144,7 +144,14 @@ if __name__ == "__main__":
                         help="with --tcp: this process runs party I")
     parser.add_argument("--port", type=int, default=23465,
                         help="with --tcp: base port of the party mesh")
+    parser.add_argument("--pure-python", action="store_true",
+                        help="keep the pure-Python group arithmetic "
+                        "(default: the C++ host tier when available)")
     args = parser.parse_args()
+    if not args.pure_python:
+        import verifiable_mpc_tpu
+
+        verifiable_mpc_tpu.enable_native()
     if args.tcp and args.M > 1:
         from verifiable_mpc_tpu.mpc.transport import run_tcp_party
 

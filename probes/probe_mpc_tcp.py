@@ -24,6 +24,10 @@ DEMO = os.path.join(
 
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    if "--native" in sys.argv:
+        import verifiable_mpc_tpu
+
+        verifiable_mpc_tpu.enable_native()
     n = 1 << k
     m = 3
     port = 57341

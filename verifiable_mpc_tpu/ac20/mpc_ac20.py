@@ -20,6 +20,7 @@ import logging
 
 from ..mpc.runtime import mpc
 from ..mpc.secgroups import repeat_public_base_public_output as secure_repeat
+from ..mpc.secgroups import repeat_fixed_base_public_output as secure_repeat_fixed_base
 from ..groups import is_elliptic
 from ..tools import poly as qc
 from . import circuit_sat_r1cs as cs
@@ -47,7 +48,10 @@ async def create_generators(group, sectype, input_length):
     """Jointly sampled, trapdoor-free generators (reference :45-51)."""
     h = group.generator
     random_exponents = [mpc._random(sectype) for _ in range(input_length + 1)]
-    kg = await mpc.gather([secure_repeat(h, u) for u in random_exponents])
+    # one batched round (per-party fixed-base comb + vectorized
+    # exponent-space recombination) instead of one secure_repeat per
+    # generator — value-equivalent, same revealed points
+    kg = await secure_repeat_fixed_base(h, random_exponents)
     return {"g": kg[1:], "h": h, "k": kg[0]}
 
 

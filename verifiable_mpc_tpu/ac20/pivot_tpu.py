@@ -135,50 +135,16 @@ def _digits_signed_u64x4(arr: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _p_limbs():
-    from ..ops import limbs_lm as lm
-
-    return tuple(lm.int_to_scalar_limbs(ED_P))
-
-
 def _canon25519(a):
-    """Relaxed [16, *B] (< 2^256, congruent mod p) -> canonical residue
-    < p: two conditional subtractions of p (2^256 - 1 = 2p + 37)."""
-    import jax.numpy as jnp
-
     from ..ops import limbs_lm as lm
 
-    p_ints = _p_limbs()
-    for _ in range(2):
-        diff, borrow = lm._borrow_sub_const(a, p_ints)
-        a = jnp.where((borrow == 1)[None], a, diff)
-    return a
+    return lm.canon25519(a)
 
 
 def _inv25519(z):
-    """z^(p-2) over [16, *B] limb rows — the curve25519 Fermat chain
-    (254 squarings + 11 multiplies), vectorized over the whole vector."""
-    import jax
     from ..ops import limbs_lm as lm
 
-    sq, mul = lm.sq25519, lm.mul25519
-
-    def pow2k(v, k):
-        return jax.lax.fori_loop(0, k, lambda _, a: sq(a), v)
-
-    z2 = sq(z)
-    z9 = mul(sq(sq(z2)), z)
-    z11 = mul(z9, z2)
-    z2_5_0 = mul(sq(z11), z9)
-    z2_10_0 = mul(pow2k(z2_5_0, 5), z2_5_0)
-    z2_20_0 = mul(pow2k(z2_10_0, 10), z2_10_0)
-    z2_40_0 = mul(pow2k(z2_20_0, 20), z2_20_0)
-    z2_50_0 = mul(pow2k(z2_40_0, 10), z2_10_0)
-    z2_100_0 = mul(pow2k(z2_50_0, 50), z2_50_0)
-    z2_200_0 = mul(pow2k(z2_100_0, 100), z2_100_0)
-    z2_250_0 = mul(pow2k(z2_200_0, 50), z2_50_0)
-    return mul(pow2k(z2_250_0, 5), z11)
+    return lm.inv25519(z)
 
 
 @functools.lru_cache(maxsize=None)
@@ -199,22 +165,28 @@ def _fold_norm_call(half: int, chunk: int, sub: int, nw: int, want_dl: bool):
 
     def run(g_coords, digits):
         lmaj = [jnp.transpose(a, (1, 0)) for a in g_coords]  # [L, 2*half]
-        gl = [a[:, :half].reshape(_L, steps, sub, chunk) for a in lmaj]
-        gr = [a[:, half:].reshape(_L, steps, sub, chunk) for a in lmaj]
-        outs = []
-        for i in range(steps):
-            outs.append(
-                tuple(
-                    call(
-                        digits,
-                        *(a[:, i] for a in gl),
-                        *(a[:, i] for a in gr),
-                    )
-                )
+        gl = [
+            jnp.transpose(
+                a[:, :half].reshape(_L, steps, sub, chunk), (1, 0, 2, 3)
             )
+            for a in lmaj
+        ]
+        gr = [
+            jnp.transpose(
+                a[:, half:].reshape(_L, steps, sub, chunk), (1, 0, 2, 3)
+            )
+            for a in lmaj
+        ]
+
+        # scan: one traced fold body (the unrolled loop traced `steps`
+        # pallas calls — minutes of per-process tracing at 2^17)
+        def body(_, xs):
+            return 0, tuple(call(digits, *xs[:4], *xs[4:]))
+
+        _, outs = jax.lax.scan(body, 0, (*gl, *gr))
         x, y, z, _t = (
-            jnp.concatenate(
-                [o[c].reshape(_L, sub * chunk) for o in outs], axis=1
+            jnp.transpose(outs[c], (1, 0, 2, 3)).reshape(
+                _L, steps * sub * chunk
             )
             for c in range(4)
         )
@@ -289,8 +261,8 @@ def _msm_resident(g_half, k_enc, scalars_u64, y_can: int):
     import jax.numpy as jnp
 
     digits = jnp.asarray(mp._pack_digits(trimmed) if packed else trimmed)
-    return mp._build_for(mp.ED, target, chunk, sub, nw, False, packed)(
-        pts, digits
+    return mp._build_for_fused(mp.ED, target, chunk, sub, nw, False, packed)(
+        tuple(pts), digits
     )
 
 

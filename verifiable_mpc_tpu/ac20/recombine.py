@@ -100,6 +100,28 @@ def recombine(field, points, x_rs=0):
     m = len(shares)
     width = len(x_rs)
     T_is_field = isinstance(shares[0], field)
+    if (
+        m * width > 1 << 12
+        and all(isinstance(s, (int, field)) for s in shares)
+        and list(xs) == list(range(xs[0], xs[0] + m))
+        and list(x_rs) == list(range(x_rs[0], x_rs[0] + width))
+        and (x_rs[0] > xs[-1] or x_rs[-1] < xs[0])
+    ):
+        # CONSECUTIVE nodes and targets (the f/g share extrapolation to
+        # m+1..2m, reference mpc_ac20.py:326-336): one closed-form
+        # convolution instead of the O(m log^2 m) subproduct tree — the
+        # tree's ~2k small NTT calls were half the MPC party wall time
+        from ..tools import fastpoly
+
+        vals = [
+            (s.value if isinstance(s, field) else int(s)) % field.modulus
+            for s in shares
+        ]
+        out = fastpoly.shift_evaluations(
+            vals, xs[0], x_rs[0], width, field.modulus
+        )
+        sums = [field(v) for v in out]
+        return sums[0] if scalar_output else sums
     if m * width > 1 << 16 and all(
         isinstance(s, (int, field)) for s in shares
     ):

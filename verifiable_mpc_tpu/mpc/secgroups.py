@@ -9,7 +9,7 @@ in the exponent.
 
 from __future__ import annotations
 
-from ..ops.dispatch import multiexp, list_mul
+from ..ops.dispatch import batch_exp, fold_generators, list_mul, multiexp
 from . import shamir
 from .runtime import SecureNumber, _runtime
 
@@ -48,3 +48,45 @@ def repeat_public_base_public_output(bases, exponents):
 
 
 secure_repeat = repeat_public_base_public_output
+
+
+def repeat_fixed_base_public_output(base, exponents):
+    """[base ** x_i] for a VECTOR of secret-shared exponents as ONE
+    protocol step: each party runs one fixed-base batch-exponentiation
+    over its share values (dispatch.batch_exp — the C++/TPU comb), the
+    n-point vectors are exchanged in a single message round, and the
+    exponent-space Lagrange recombination runs as m vectorized fold
+    passes (dispatch.fold_generators).
+
+    Value-equivalent to n independent ``secure_repeat(base, [x_i])``
+    calls and reveals exactly the same per-party points, but in 1 network
+    round instead of n — the MPC generator-setup hot path (reference
+    mpc_ac20.py:45-51 loops per generator; at 2^12 that was 16k rounds
+    and 65k host scalar-muls per party)."""
+    rt = _runtime()
+    base_id = ("secrepv", rt._next_pc())
+
+    sec = next((e for e in exponents if isinstance(e, SecureNumber)), None)
+    field = type(sec).field if sec is not None else None
+
+    async def coro():
+        exps = []
+        for e in exponents:
+            if isinstance(e, SecureNumber):
+                exps.append(int((await e._value()).value))
+            else:
+                exps.append(int(e))
+        local = batch_exp(base, exps)
+        if rt.m == 1:
+            return local
+        received = await rt._exchange(base_id, local)
+        lam = shamir.recombination_vector(field, rt.m)
+        acc = [type(base).identity] * len(exps)
+        for vec, l in zip(received, lam):
+            acc = fold_generators(vec, acc, int(l))
+        return acc
+
+    return rt._task(coro())
+
+
+secure_repeat_fixed_base = repeat_fixed_base_public_output

@@ -341,6 +341,48 @@ def neg25519(b):
     return reduce25519(cols)
 
 
+_P25519_LIMBS = None
+
+
+def _p25519_limbs():
+    global _P25519_LIMBS
+    if _P25519_LIMBS is None:
+        _P25519_LIMBS = tuple(int_to_scalar_limbs(P25519))
+    return _P25519_LIMBS
+
+
+def canon25519(a):
+    """Relaxed [16, *B] (< 2^256, congruent mod p) -> canonical residue
+    < p: two conditional subtractions (2^256 - 1 = 2p + 37)."""
+    p_ints = _p25519_limbs()
+    for _ in range(2):
+        diff, borrow = _borrow_sub_const(a, p_ints)
+        a = jnp.where((borrow == 1)[None], a, diff)
+    return a
+
+
+def inv25519(z):
+    """z^(p-2) over [16, *B] limb rows — the curve25519 Fermat chain
+    (254 squarings + 11 multiplies), vectorized over the whole batch."""
+    import jax
+
+    def pow2k(v, k):
+        return jax.lax.fori_loop(0, k, lambda _, a: sq25519(a), v)
+
+    z2 = sq25519(z)
+    z9 = mul25519(sq25519(sq25519(z2)), z)
+    z11 = mul25519(z9, z2)
+    z2_5_0 = mul25519(sq25519(z11), z9)
+    z2_10_0 = mul25519(pow2k(z2_5_0, 5), z2_5_0)
+    z2_20_0 = mul25519(pow2k(z2_10_0, 10), z2_10_0)
+    z2_40_0 = mul25519(pow2k(z2_20_0, 20), z2_20_0)
+    z2_50_0 = mul25519(pow2k(z2_40_0, 10), z2_10_0)
+    z2_100_0 = mul25519(pow2k(z2_50_0, 50), z2_50_0)
+    z2_200_0 = mul25519(pow2k(z2_100_0, 100), z2_100_0)
+    z2_250_0 = mul25519(pow2k(z2_200_0, 50), z2_50_0)
+    return mul25519(pow2k(z2_250_0, 5), z11)
+
+
 def const_rows(c_ints, batch_shape):
     """Constant limbs -> [L, *batch] tensor built from per-row splats
     (no non-splat constant tensor is materialized)."""

@@ -298,6 +298,35 @@ class _EdAdapter:
     encode = staticmethod(ced.encode_points_plain)
 
     @staticmethod
+    def normalize_pack(coords_lm):
+        """4 x [L, n] relaxed limb-major -> [3, n, L] uint16 canonical
+        affine rows (x, y, t; z = 1): batch normalization ON DEVICE.  The
+        tunnel downloads at ~28 MB/s (vs 1.3 GB/s up), so shrinking the
+        result from 256 relaxed bytes/point to 96 canonical bytes/point
+        (and skipping the host reduction) is the dominant saving."""
+        x, y, z, _t = coords_lm
+        zinv = lm.inv25519(z)
+        xc = lm.canon25519(lm.mul25519(x, zinv))
+        yc = lm.canon25519(lm.mul25519(y, zinv))
+        tc = lm.canon25519(lm.mul25519(xc, yc))
+        return jnp.stack([xc, yc, tc]).transpose(0, 2, 1).astype(jnp.uint16)
+
+    @staticmethod
+    def decode_normalized(dl: np.ndarray) -> list:
+        """[3, n, 16] uint16 canonical (x, y, t) -> EdwardsPoint list via
+        the C row constructor (z = 1)."""
+        from .. import native
+
+        n = dl.shape[1]
+        v = np.ascontiguousarray(dl, np.uint16)
+        rows = np.zeros((n, 16), np.uint64)
+        rows[:, 0:4] = v[0].view(np.uint64)
+        rows[:, 4:8] = v[1].view(np.uint64)
+        rows[:, 8] = 1
+        rows[:, 12:16] = v[2].view(np.uint64)
+        return native._u64_to_pts(rows)
+
+    @staticmethod
     def encode_pre(points):
         """Host-side precomputed form (Y+X, Y-X, 2dT, 2Z) — table entries
         uploaded ready for mixed adds (comb kernel)."""
@@ -616,6 +645,53 @@ def _build(n, chunk, sub, nwindows, interpret):
     return _build_for(ED, n, chunk, sub, nwindows, interpret)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_for_fused(curve, n: int, chunk: int, sub: int, nwindows: int,
+                     interpret: bool, packed: bool = False):
+    """Whole-MSM pipeline under ONE jit: prep + every chunk step + tail.
+
+    The per-step host loop of :func:`_build_for` pays one tunnel dispatch
+    per chunk (~15 ms each — 1.9 s for a 2^18-point MSM); the Mosaic
+    kernel is still compiled once per (chunk, sub, nw) shape, the outer
+    XLA graph (64 custom-calls) is a cheap per-size compile."""
+    assert n % (chunk * sub) == 0
+    steps = n // (chunk * sub)
+    call = _chunk_pallas(curve, chunk, sub, nwindows, interpret)
+    tail_call = _tail_pallas(curve, chunk, nwindows, interpret)
+    nc = curve.NC
+
+    def run(points_bm, digits):
+        lmaj = [
+            jnp.transpose(
+                jnp.transpose(a, (1, 0)).reshape(L, steps, sub, chunk),
+                (1, 0, 2, 3),
+            )
+            for a in points_bm
+        ]  # [steps, L, sub, chunk]
+        d = (
+            _unpack_digits(digits, nwindows)
+            if packed
+            else digits.astype(jnp.int32)
+        )
+        d = jnp.transpose(
+            d.reshape(nwindows, steps, sub, chunk), (1, 0, 2, 3)
+        )
+        k = curve.consts()
+        acc0 = curve.identity((nwindows, chunk), k)
+
+        # lax.scan: the chunk body traces ONCE — the unrolled host loop
+        # traced `steps` pallas calls, minutes of per-process tracing at
+        # 2^18 sizes
+        def body(acc, xs):
+            return tuple(call(xs[0], *xs[1:], *acc)), 0
+
+        acc, _ = jax.lax.scan(body, acc0, (d, *lmaj))
+        fin = tail_call(*acc)
+        return jnp.stack([a[:, 0] for a in fin])
+
+    return jax.jit(run)
+
+
 def _msm_generic(curve, points, scalars, chunk, sub, interpret):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -647,8 +723,8 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
     trimmed = digits_np[NWINDOWS - nw:]
     packed = not interpret and nw % 2 == 0  # halves the digit upload
     digits = jnp.asarray(_pack_digits(trimmed) if packed else trimmed)
-    out = _build_for(curve, target, chunk, sub, nw, interpret, packed)(
-        dev_pts, digits
+    out = _build_for_fused(curve, target, chunk, sub, nw, interpret, packed)(
+        tuple(dev_pts), digits
     )
     return curve.decode_one(tuple(np.asarray(out)))  # one [nc, L] transfer
 
@@ -1107,23 +1183,6 @@ def _bexp_comb_pallas(curve, chunk: int, sub: int, nw: int, interpret: bool):
     )
 
 
-@functools.lru_cache(maxsize=None)
-def _bexp_comb_call(curve, chunk: int, sub: int, nw: int, interpret: bool,
-                    packed: bool = False):
-    call = _bexp_comb_pallas(curve, chunk, sub, nw, interpret)
-    rows = nw * TABLE_S
-
-    def step(digits, tbl):
-        d = _unpack_digits(digits, nw) if packed else digits.astype(jnp.int32)
-        # lane-broadcast the [rows, L] host table on device (see kernel)
-        tb = tuple(
-            jnp.broadcast_to(a[:, :, None], (rows, L, chunk)) for a in tbl
-        )
-        return tuple(call(d, *tb))
-
-    return jax.jit(step)
-
-
 _COMB_TABLES = {}  # (curve.name, nw, point-key) -> device table
 
 
@@ -1165,6 +1224,42 @@ def comb_table(curve, base, nw: int):
     return hit
 
 
+@functools.lru_cache(maxsize=None)
+def _bexp_comb_fused(curve, steps: int, chunk: int, sub: int, nw: int,
+                     interpret: bool, packed: bool):
+    """Whole comb batch-exp under ONE jit (all steps + normalize/finish):
+    one tunnel dispatch instead of `steps` (see _build_for_fused)."""
+    call = _bexp_comb_pallas(curve, chunk, sub, nw, interpret)
+    rows = nw * TABLE_S
+    nc = curve.NC
+    normalize = hasattr(curve, "normalize_pack")
+
+    def run(digits, tbl):
+        tb = tuple(
+            jnp.broadcast_to(a[:, :, None], (rows, L, chunk)) for a in tbl
+        )
+        dsteps = jnp.swapaxes(digits, 0, 1)  # [steps, rows, sub, chunk]
+
+        def body(_, d_i):
+            d = (
+                _unpack_digits(d_i, nw)
+                if packed
+                else d_i.astype(jnp.int32)
+            )
+            return 0, tuple(call(d, *tb))
+
+        _, outs = jax.lax.scan(body, 0, dsteps)  # [steps, L, sub, chunk] x nc
+        coords = [
+            jnp.transpose(o, (1, 0, 2, 3)).reshape(L, steps * sub * chunk)
+            for o in outs
+        ]
+        if normalize:
+            return curve.normalize_pack(coords)
+        return jnp.stack([jnp.transpose(a, (1, 0)) for a in coords])
+
+    return jax.jit(run)
+
+
 def _batch_exp_comb_generic(curve, base, exponents, chunk, sub, interpret):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1187,12 +1282,14 @@ def _batch_exp_comb_generic(curve, base, exponents, chunk, sub, interpret):
     digits = jnp.asarray(trimmed.reshape(-1, steps, sub, chunk))
 
     tbl = comb_table(curve, base, nw)
-    step_fn = _bexp_comb_call(curve, chunk, sub, nw, interpret, packed)
-    outs = [step_fn(digits[:, i], tbl) for i in range(steps)]
-    stacked = np.asarray(
-        _bexp_finish_call(curve, steps, chunk, sub)(outs)
+    out = np.asarray(
+        _bexp_comb_fused(curve, steps, chunk, sub, nw, interpret, packed)(
+            digits, tbl
+        )
     )
-    return curve.decode_many(tuple(stacked))[:n]
+    if hasattr(curve, "normalize_pack"):
+        return curve.decode_normalized(out)[:n]
+    return curve.decode_many(tuple(out))[:n]
 
 
 def batch_exp_comb(base, exponents, chunk: int = 128, sub: int = 8,
