@@ -50,7 +50,7 @@ def enable_compile_cache(path: str | None = None):
 
 
 def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
-               fused: bool = True):
+               fused: bool = True, bn2: bool = False):
     """Install the TPU kernel backends (MSM / generator fold / batch-exp over
     Ed25519, NTT polynomial products) behind the host protocol layer.
 
@@ -78,7 +78,12 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
 
         msm_pallas.register(min_msm_batch)  # overrides msm/fold backends
         bn_pallas.register(min_msm_batch)  # BN256 G1 (Pinocchio MSMs)
-        bn2_pallas.register(min_msm_batch)  # BN256 twist (keygen w-terms)
+        if bn2:
+            # opt-in: the GF(p^2) twist kernels compile for tens of
+            # minutes per shape on the tunnel service (the keygen w-terms
+            # run in seconds on the C++ comb) — validated on hardware by
+            # probes/probe_bn2.py, not part of the default hybrid
+            bn2_pallas.register(min_msm_batch)  # BN256 twist
         pivot_tpu.enable()  # TPU-resident protocol-4 engine
 
         if native.REGISTERED:
@@ -91,6 +96,10 @@ def enable_tpu(min_msm_batch: int = 512, min_poly_len: int = 256,
             from .ops import dispatch
 
             def _tier(table, cls, native_fn, pick):
+                if cls not in table:
+                    # class not on the TPU (e.g. the twist without bn2=True):
+                    # the C++ registration from native.register() stands
+                    return
                 tpu_fn, tmin = table[cls]
 
                 def fn(*args, _t=tpu_fn, _m=tmin, _n=native_fn, _p=pick):
