@@ -183,7 +183,10 @@ def main():
     # unreliable on the first post-compile launches, so warm up with two
     # fully-materialized runs on distinct inputs, then time runs that fetch
     # the (tiny) result to host — an honest end-to-end per-MSM latency.
-    reps = 3
+    # Best-of-N is the headline (VERDICT r4 #5: the mean tracked container
+    # load, drifting -5% round-over-round while the kernel was unchanged);
+    # the per-rep spread is recorded alongside.
+    reps = 6
     pipe_reps = 4
     variants = [
         jnp.asarray(
@@ -193,12 +196,19 @@ def main():
     ]
     for i in range(2):
         _ = np.asarray(kern(dev_pts, variants[i]))
-    t0 = time.perf_counter()
+    lat_samples = []
     for i in range(reps):
+        t0 = time.perf_counter()
         _ = np.asarray(kern(dev_pts, variants[2 + i]))
-    t_latency = (time.perf_counter() - t0) / reps
+        lat_samples.append(time.perf_counter() - t0)
+    t_latency = min(lat_samples)
+    lat_mean = sum(lat_samples) / len(lat_samples)
+    lat_sd = (
+        sum((s - lat_mean) ** 2 for s in lat_samples) / len(lat_samples)
+    ) ** 0.5
     print(
-        f"TPU MSM n=2^{log2n}: {t_latency:.3f}s/msm round-trip latency",
+        f"TPU MSM n=2^{log2n}: best {t_latency:.3f}s/msm of {reps} "
+        f"(mean {lat_mean:.3f} +- {lat_sd:.3f})",
         file=sys.stderr,
     )
 
@@ -236,9 +246,70 @@ def main():
     }
     record["log2_n"] = log2n  # rates are size-dependent: always recorded
     record["latency_s_per_msm"] = round(t_latency, 4)
+    record["latency_mean_s"] = round(lat_mean, 4)
+    record["latency_sd_s"] = round(lat_sd, 4)
+    record["reps"] = reps
     record["queued_dispatch_s_per_msm"] = round(t_pipe, 4)
+    prev = _prior_round_value()
+    if prev is not None:
+        record["prev_round_value"] = prev
+        record["delta_vs_prev_pct"] = round(100 * (tpu_rate / prev - 1), 1)
     _record_emitted.set()
     print(json.dumps(record), flush=True)
+
+
+def _prior_round_value():
+    """Headline of the newest BENCH_r*.json in the repo (regression
+    tracking, VERDICT r4 #5); None if absent/unparseable."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            # driver files hold concatenated records; take the last line
+            # that parses
+            data = None
+            try:
+                with open(path) as f:
+                    text = f.read()
+                for chunk in re.findall(r"\{.*?\}(?=\{|\s*$)", text, re.S):
+                    try:
+                        data = json.loads(chunk)
+                    except Exception:
+                        pass
+            except Exception:
+                continue
+        vals = []
+        _collect_metric_values(data, vals)
+        if vals and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), vals[-1])
+    return None if best is None else best[1]
+
+
+def _collect_metric_values(obj, out):
+    if isinstance(obj, dict):
+        parsed = obj.get("parsed")
+        if isinstance(parsed, dict) and parsed.get("metric") == METRIC:
+            v = parsed.get("value")
+            if isinstance(v, (int, float)):
+                out.append(v)
+        if obj.get("metric") == METRIC and isinstance(
+            obj.get("value"), (int, float)
+        ):
+            out.append(obj["value"])
+        for v in obj.values():
+            _collect_metric_values(v, out)
+    elif isinstance(obj, list):
+        for v in obj:
+            _collect_metric_values(v, out)
 
 
 if __name__ == "__main__":

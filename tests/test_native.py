@@ -147,3 +147,74 @@ def test_native_msm_duplicate_and_inverse_points():
     es = [42] * 20 + [ORDER - 1] * 4
     be = native.bn_batch_exp(g, es)
     assert all(be[i] == g * e for i, e in enumerate(es))
+
+
+def test_recode_signed4_matches_numpy():
+    """C batch recode (native/ed25519.cc vmpc_recode_signed4) is
+    byte-identical to the numpy oracle the kernels were validated
+    against (ops/msm_pallas._digits_signed_from_u64x4_np)."""
+    import numpy as np
+
+    from verifiable_mpc_tpu.ops.msm_pallas import _digits_signed_from_u64x4_np
+
+    rng = random.Random(77)
+    half = ELL // 2
+    vals = (
+        [rng.randrange(ELL) for _ in range(700)]
+        + [0, 1, 7, 8, 9, half - 1, half, half + 1, ELL - 1, ELL - 8]
+    )
+    arr = native._ints_to_u64x4(vals, ELL)
+    d_np = _digits_signed_from_u64x4_np(arr, ELL)
+    d_c = native.recode_signed4_arr(arr, ELL)
+    assert d_c.dtype == np.int8 and d_c.shape == d_np.shape
+    assert (d_np == d_c).all()
+    # BN254 order too (the recode is order-generic)
+    from verifiable_mpc_tpu.groups.bn256 import ORDER
+
+    vals = [rng.randrange(ORDER) for _ in range(300)] + [0, ORDER - 1]
+    arr = native._ints_to_u64x4(vals, ORDER)
+    assert (
+        _digits_signed_from_u64x4_np(arr, ORDER)
+        == native.recode_signed4_arr(arr, ORDER)
+    ).all()
+
+
+def test_ed_rows_fill_t():
+    """C extended-row completion: z = 1, t = x*y mod p from canonical x, y
+    (the TPU engine's two-coordinate download reconstruction)."""
+    import numpy as np
+
+    from verifiable_mpc_tpu.groups.edwards import P as ED_P
+
+    rng = random.Random(78)
+    xs = [rng.randrange(ED_P) for _ in range(64)] + [0, 1, ED_P - 1]
+    ys = [rng.randrange(ED_P) for _ in range(64)] + [ED_P - 1, 0, 1]
+    rows = np.zeros((len(xs), 16), np.uint64)
+    rows[:, 0:4] = native._ints_to_u64x4(xs, ED_P)
+    rows[:, 4:8] = native._ints_to_u64x4(ys, ED_P)
+    native.ed_rows_fill_t_arr(rows)
+    zs = native._u64x4_to_ints(np.ascontiguousarray(rows[:, 8:12]))
+    ts = native._u64x4_to_ints(np.ascontiguousarray(rows[:, 12:16]))
+    for x, y, z, t in zip(xs, ys, zs, ts):
+        assert z == 1 and t == x * y % ED_P
+
+
+def test_ed_encode_cached_identity_keyed():
+    """ops/msm_pallas.ed_encode_cached: same point list (by element ids)
+    hits the cache; the host rows equal the direct conversion."""
+    import numpy as np
+
+    from verifiable_mpc_tpu.ops import msm_pallas as mp
+
+    rng = random.Random(79)
+    g = EdwardsPoint.generator
+    pts = [g ** rng.randrange(1, ELL) for _ in range(16)]
+    rows1, dev1 = mp.ed_encode_cached(pts)
+    assert np.array_equal(rows1, native._pts_to_u64(pts))
+    # a NEW list object holding the same elements is the same key
+    rows2, dev2 = mp.ed_encode_cached(list(pts))
+    assert rows2 is rows1 and dev2[0] is dev1[0]
+    # different elements -> different entry
+    other = [g ** rng.randrange(1, ELL) for _ in range(16)]
+    rows3, _ = mp.ed_encode_cached(other)
+    assert rows3 is not rows1

@@ -37,9 +37,10 @@ def test_rows_coords_roundtrip():
     rows = native._pts_to_u64(pts)
     coords = pt._rows_to_coords(rows)
     assert [a.shape for a in coords] == [(8, 16)] * 4
-    # canonical (normalized) coords survive the u16 download packing
+    # canonical (normalized) coords survive the u16 download packing; the
+    # two-coordinate download reconstructs t = x*y host-side (C tier)
     dl = np.stack(
-        [np.asarray(coords[0]), np.asarray(coords[1]), np.asarray(coords[3])]
+        [np.asarray(coords[0]), np.asarray(coords[1])]
     ).astype(np.uint16)
     assert np.array_equal(pt._dl_to_rows(dl), rows)
 

@@ -111,15 +111,29 @@ def _u16_to_u64x4(limbs: np.ndarray) -> np.ndarray:
 
 
 def _dl_to_rows(dl: np.ndarray) -> np.ndarray:
-    """Packed download [3, n, 16] (canonical x, y, t 16-bit limbs) ->
-    [n, 16] u64 rows with z = 1 (the normalized representative)."""
+    """Packed download [2, n, 16] (canonical x, y 16-bit limbs) -> [n, 16]
+    u64 rows with z = 1 and t = x*y mod p filled host-side (C tier).
+
+    Downloading two coordinates instead of three (t is redundant for a
+    z = 1 representative) cuts the engine's per-round transfer — the
+    tunnel's 28 MB/s download leg — by a third; the C completion is ~ms."""
     n = dl.shape[1]
     rows = np.zeros((n, 16), np.uint64)
     rows[:, 0:4] = _u16_to_u64x4(dl[0])
     rows[:, 4:8] = _u16_to_u64x4(dl[1])
-    rows[:, 8] = 1  # z = 1
-    rows[:, 12:16] = _u16_to_u64x4(dl[2])
+    native.ed_rows_fill_t_arr(rows)
     return rows
+
+
+def _dl_start_fetch(dl):
+    """Kick off the device->host copy without blocking (the transfer then
+    overlaps the next round's MSM compute); np.asarray() at challenge time
+    completes it."""
+    try:
+        dl.copy_to_host_async()
+    except Exception:  # backend without async host copies: fetch later
+        pass
+    return dl
 
 
 def _digits_signed_u64x4(arr: np.ndarray) -> np.ndarray:
@@ -199,7 +213,8 @@ def _fold_norm_call(half: int, chunk: int, sub: int, nw: int, want_dl: bool):
             jnp.transpose(a, (1, 0)) for a in (xc, yc, ones, tc)
         )
         if want_dl:
-            dl = jnp.stack([xc, yc, tc]).transpose(0, 2, 1).astype(jnp.uint16)
+            # x, y only: the host completes t = x*y in C (_dl_to_rows)
+            dl = jnp.stack([xc, yc]).transpose(0, 2, 1).astype(jnp.uint16)
             return g_next, dl
         return g_next
 
@@ -207,63 +222,65 @@ def _fold_norm_call(half: int, chunk: int, sub: int, nw: int, want_dl: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_pad_call(n_in: int, target: int):
-    """jitted: append the k column and identity padding to the resident
-    half [n_in - 1, L] x4 -> [target, L] x4."""
+def _round_msms_call(half: int, nw: int, packed: bool):
+    """jitted: resident coords [2*half, L] x4 + both digit streams ->
+    [2, nc, L]: round r's A MSM (high half of g) and B MSM (low half) in
+    ONE tunnel dispatch.
+
+    The k^y column is deliberately absent: with it, the half+1 bases
+    padded up to the next power of two — DOUBLING every A/B MSM's device
+    work with identity rows (half is itself a power of two).  The caller
+    multiplies k^y in on the host (one C scalar-mul; the commitment is a
+    product, so the group element — and its normalized hash bytes — are
+    identical)."""
     import jax
     import jax.numpy as jnp
 
-    pad = target - n_in
-    # extended identity (0 : 1 : 1 : 0) batch-major limb rows
-    zero = np.zeros((pad, _L), np.uint32)
-    one = np.zeros((pad, _L), np.uint32)
-    one[:, 0] = 1
-    id_rows = (zero, one, one, zero)
+    from ..ops import msm_pallas as mp
 
-    def run(g_half, k_enc):
-        return tuple(
-            jnp.concatenate([g, k, jnp.asarray(i)], axis=0)
-            for g, k, i in zip(g_half, k_enc, id_rows)
-        )
+    chunk = 128
+    sub = 32 if half >= 32 * chunk else 8
+    msm = mp._build_for_fused(mp.ED, half, chunk, sub, nw, False, packed)
+
+    def run(g_coords, digits2):
+        g_hi = tuple(a[half:] for a in g_coords)
+        g_lo = tuple(a[:half] for a in g_coords)
+        return jnp.stack([msm(g_hi, digits2[0]), msm(g_lo, digits2[1])])
 
     return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=None)
-def _stack2_call():
-    import jax
-    import jax.numpy as jnp
-
-    return jax.jit(lambda a, b: jnp.stack([a, b]))
-
-
-def _msm_resident(g_half, k_enc, scalars_u64, y_can: int):
-    """One A/B commitment: MSM over [resident g_half ‖ k] with exponents
-    [scalars ‖ y].  Returns the device [nc, L] result (not fetched)."""
+def _round_msms(g_dev, z_arr: np.ndarray):
+    """Launch both of round r's MSMs; returns the un-fetched [2, nc, L]
+    device result (A over z[:half]/g_hi, B over z[half:]/g_lo)."""
     from ..ops import msm_pallas as mp
 
-    n_bases = g_half[0].shape[0] + 1
-    chunk = 128
-    sub = 32 if n_bases >= 32 * chunk else 8
-    target = max(chunk * sub, mp._pow2_pad(n_bases, 1))
-    pts = _msm_pad_call(n_bases, target)(g_half, k_enc)
-
-    with _T(f"  digits n={n_bases}"):
-        rows = np.zeros((target, 4), np.uint64)
-        rows[: n_bases - 1] = scalars_u64
-        rows[n_bases - 1] = native._ints_to_u64x4([y_can % ELL], ELL)[0]
-        digits_np = _digits_signed_u64x4(rows)
+    half = z_arr.shape[0] // 2
+    with _T(f"  digits n={half}"):
+        digits_np = _digits_signed_u64x4(z_arr)  # [64, 2*half], C recode
     nonzero = np.flatnonzero(digits_np.any(axis=1))
     windows_needed = mp.NWINDOWS - nonzero[0] if nonzero.size else 1
     nw = 8 if windows_needed <= 8 else mp.NWINDOWS
     trimmed = digits_np[mp.NWINDOWS - nw :]
     packed = nw % 2 == 0
+    d2 = np.stack([trimmed[:, :half], trimmed[:, half:]])
     import jax.numpy as jnp
 
-    digits = jnp.asarray(mp._pack_digits(trimmed) if packed else trimmed)
-    return mp._build_for_fused(mp.ED, target, chunk, sub, nw, False, packed)(
-        tuple(pts), digits
+    digits = jnp.asarray(mp._pack_digits(d2.swapaxes(0, 1)).swapaxes(0, 1)
+                         if packed else d2)
+    return _round_msms_call(half, nw, packed)(g_dev, digits)
+
+
+def _k_pow(k_arr: np.ndarray, y_can: int) -> EdwardsPoint:
+    """k ** y via the C scalar ladder (host tail of the identity-free
+    round MSMs)."""
+    lib = native.load()
+    s4 = native._ints_to_u64x4([y_can % ELL], ELL)
+    out = np.empty(16, np.uint64)
+    lib.vmpc_ed_scalar_mul(
+        native._u64p(k_arr), native._u64p(s4), native._u64p(out)
     )
+    return native._u64_to_pts(out.reshape(1, 16))[0]
 
 
 def _decode_pt(arr_ncL: np.ndarray) -> EdwardsPoint:
@@ -329,11 +346,15 @@ def try_protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
 
     from ..ops import msm_pallas as mp
 
-    g_host = native._pts_to_u64(g_hat)  # canonical hash mirror [n, 16]
-    g_dev = _rows_to_coords(g_host)
-    k_enc = mp.ED.encode([k])
+    if native.fastser() is not None:
+        # id-keyed cache: the commitment MSMs already uploaded this vector
+        g_host, g_dev = mp.ed_encode_cached(g_hat)
+    else:
+        g_host = native._pts_to_u64(g_hat)  # canonical hash mirror [n, 16]
+        g_dev = _rows_to_coords(g_host)
+    k_arr = np.ascontiguousarray(native._pts_to_u64([k])[0])
     order = k.order
-    stack2 = _stack2_call()
+    pending_dl = None  # fold download in flight (fetched at challenge time)
 
     while True:
         n = g_dev[0].shape[0]
@@ -343,15 +364,18 @@ def try_protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
         with _T("dots"):
             y_a = native.mod_dot_arr(l_arr[half:], z_arr[:half], ELL)
             y_b = native.mod_dot_arr(l_arr[:half], z_arr[half:], ELL)
-        g_lo = tuple(a[:half] for a in g_dev)
-        g_hi = tuple(a[half:] for a in g_dev)
         with _T("msm_launch"):
-            A_dev = _msm_resident(g_hi, k_enc, z_arr[:half], y_a)
-            B_dev = _msm_resident(g_lo, k_enc, z_arr[half:], y_b)
+            AB_dev = _round_msms(g_dev, z_arr)  # one dispatch, both MSMs
+        if pending_dl is not None:
+            # previous round's fold download: issued async at fold time, so
+            # the transfer overlapped this round's MSM compute
+            with _T("dl_fetch"):
+                g_host = _dl_to_rows(np.asarray(pending_dl))
+            pending_dl = None
         with _T("msm_fetch"):
-            AB = np.asarray(stack2(A_dev, B_dev))  # ONE blocking fetch
-        A = _decode_pt(AB[0])
-        B = _decode_pt(AB[1])
+            AB = np.asarray(AB_dev)  # ONE blocking fetch
+        A = _decode_pt(AB[0]) * _k_pow(k_arr, y_a)
+        B = _decode_pt(AB[1]) * _k_pow(k_arr, y_b)
         proof["A" + str(round_i)] = A
         proof["B" + str(round_i)] = B
 
@@ -374,10 +398,7 @@ def try_protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
         if want_dl:
             with _T("fold_launch"):
                 g_dev, dl = fn(g_dev, _fold_digits(c))
-            with _T("fold_fetch"):
-                dl_np = np.asarray(dl)  # ONE blocking fetch
-            with _T("dl_pack"):
-                g_host = _dl_to_rows(dl_np)
+            pending_dl = _dl_start_fetch(dl)
         else:
             with _T("fold_launch"):
                 g_dev = fn(g_dev, _fold_digits(c))
@@ -390,6 +411,10 @@ def try_protocol_4_prover(g_hat, k, Q, L_tilde, z_hat, gf, proof, round_i,
 
         if last_tpu_round:
             break
+
+    if pending_dl is not None:
+        with _T("dl_fetch"):
+            g_host = _dl_to_rows(np.asarray(pending_dl))
 
     # hand the sub-_CUTOVER tail to the host engines (C++ resident /
     # generic), reconstructing exactly the state the generic loop would hold
@@ -421,9 +446,13 @@ def try_protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i):
 
     from ..ops import msm_pallas as mp
 
-    g_host = native._pts_to_u64(g_hat)
-    g_dev = _rows_to_coords(g_host)
+    if native.fastser() is not None:
+        g_host, g_dev = mp.ed_encode_cached(g_hat)
+    else:
+        g_host = native._pts_to_u64(g_hat)
+        g_dev = _rows_to_coords(g_host)
     order = k.order
+    pending_dl = None
 
     while True:
         n = g_dev[0].shape[0]
@@ -432,6 +461,9 @@ def try_protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i):
         B = proof["B" + str(round_i)]
         if type(A) is not EdwardsPoint or type(B) is not EdwardsPoint:
             return None
+        if pending_dl is not None:
+            g_host = _dl_to_rows(np.asarray(pending_dl))
+            pending_dl = None
         c = pivot_native._round_challenge_resident(
             A, B, g_host, k, Q, l_arr, order, l_obj
         )
@@ -440,13 +472,16 @@ def try_protocol_4_verifier(g_hat, k, Q, L_tilde, gf, proof, round_i):
         g_dev, dl = _fold_norm_call(half, 128, 8, mp.NWINDOWS, True)(
             g_dev, _fold_digits(c)
         )
-        g_host = _dl_to_rows(np.asarray(dl))
+        pending_dl = _dl_start_fetch(dl)
         Q = A * (Q ** c) * (B ** (c ** 2))
         l_arr = native.mod_axpy_arr(c, l_arr[:half], l_arr[half:], ELL)
         round_i += 1
 
         if half // 2 < _CUTOVER:
             break
+
+    if pending_dl is not None:
+        g_host = _dl_to_rows(np.asarray(pending_dl))
 
     from . import compressed_pivot
 

@@ -14,6 +14,7 @@ compiler is available.
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 import subprocess
 
@@ -125,6 +126,12 @@ def load():
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.vmpc_ed_batch_normalize.argtypes = [u64p, ctypes.c_uint64]
     lib.vmpc_ed_hash_encode.argtypes = [u64p, ctypes.c_uint64, u8p, u64p]
+    lib.vmpc_ed_rows_fill_t.argtypes = [u64p, ctypes.c_uint64]
+    lib.vmpc_recode_signed4.argtypes = [
+        u64p, ctypes.c_uint64, u64p, u64p,
+        ctypes.POINTER(ctypes.c_int8),
+    ]
+    lib.vmpc_recode_signed4.restype = ctypes.c_int
     lib.vmpc_modvec_hash_encode_signed.argtypes = [
         u64p, u64p, ctypes.c_uint64, u8p, u64p,
     ]
@@ -617,6 +624,38 @@ def ed_hash_encode_arr(pts: np.ndarray) -> bytes:
     outlen = np.zeros(1, dtype=np.uint64)
     lib.vmpc_ed_hash_encode(_u64p(pts), n, _u8p(buf), _u64p(outlen))
     return buf[: int(outlen[0])].tobytes()
+
+
+def ed_rows_fill_t_arr(rows: np.ndarray) -> np.ndarray:
+    """In-place: [n,16] rows with canonical x, y set -> z = 1 and
+    t = x*y mod p (canonical) filled.  The extended-row completion for
+    the TPU engine's two-coordinate canonical downloads."""
+    lib = load()
+    lib.vmpc_ed_rows_fill_t(_u64p(rows), len(rows))
+    return rows
+
+
+@functools.lru_cache(maxsize=None)
+def _order_half_limbs(order: int):
+    return (
+        _ints_to_u64x4([order], 1 << 256),
+        _ints_to_u64x4([order // 2], 1 << 256),
+    )
+
+
+def recode_signed4_arr(scalars: np.ndarray, order: int) -> np.ndarray:
+    """[n,4] u64 canonical residues -> [64,n] int8 signed digits (MSB-first),
+    byte-identical to ops/msm_pallas._digits_signed_from_u64x4."""
+    lib = load()
+    n = len(scalars)
+    o4, h4 = _order_half_limbs(order)
+    out = np.empty((64, n), dtype=np.int8)
+    rc = lib.vmpc_recode_signed4(
+        _u64p(np.ascontiguousarray(scalars, np.uint64)), n, _u64p(o4),
+        _u64p(h4), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    assert rc == 0, "scalar overflow in signed recoding"
+    return out
 
 
 def mod_hash_encode_signed_arr(vals: np.ndarray, p: int) -> bytes:

@@ -674,6 +674,75 @@ void vmpc_ed_hash_encode(const u64 *pts, u64 n, unsigned char *out,
   *outlen = off[n];
 }
 
+// rows: [n, 16] u64 with canonical x (cols 0..3) and y (cols 4..7) set;
+// fills z = 1 (cols 8..11) and t = x*y mod p (cols 12..15).  Lets the TPU
+// engine download only two coordinates per folded generator (the tunnel
+// download leg is ~28 MB/s) and reconstruct the extended row host-side.
+void vmpc_ed_rows_fill_t(u64 *rows, u64 n) {
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < (long long)n; i++) {
+    u64 *r = rows + i * 16;
+    Fe x, y, t;
+    fe_unpack(x, r);
+    fe_unpack(y, r + 4);
+    fe_mul(t, x, y);
+    r[8] = 1;
+    r[9] = 0;
+    r[10] = 0;
+    r[11] = 0;
+    fe_pack(r + 12, t);
+  }
+}
+
+// Batch signed 4-bit recode: [n, 4] u64 canonical residues (< order) ->
+// [64, n] int8 signed digits in [-7, 8], MSB-first rows.  Byte-identical
+// to ops/msm_pallas._digits_signed_from_u64x4 (same balanced form and
+// per-sign carry thresholds).  Returns nonzero on digit-carry overflow
+// (cannot happen for canonical residues of a < 2^255 order).
+int vmpc_recode_signed4(const u64 *scalars, u64 n, const u64 *order,
+                        const u64 *half, signed char *out) {
+  int overflow = 0;
+#pragma omp parallel for schedule(static) reduction(| : overflow)
+  for (long long i = 0; i < (long long)n; i++) {
+    const u64 *a = scalars + i * 4;
+    int neg = 0;
+    for (int j = 3; j >= 0; j--) {
+      if (a[j] > half[j]) {
+        neg = 1;
+        break;
+      }
+      if (a[j] < half[j]) break;
+    }
+    u64 bal[4];
+    if (neg) {
+      u64 borrow = 0;
+      for (int j = 0; j < 4; j++) {
+        u128 diff = (u128)order[j] - a[j] - borrow;
+        bal[j] = (u64)diff;
+        borrow = (u64)((diff >> 64) & 1);
+      }
+    } else {
+      memcpy(bal, a, 32);
+    }
+    int d[64];
+    for (int w = 0; w < 64; w++)
+      d[w] = (int)((bal[w >> 4] >> ((w & 15) * 4)) & 0xF);
+    const int thresh = neg ? 8 : 9;
+    int carry = 0;
+    for (int w = 0; w < 64; w++) {
+      int v = d[w] + carry;
+      carry = v >= thresh;
+      d[w] = v - 16 * carry;
+    }
+    overflow |= carry;
+    if (neg)
+      for (int w = 0; w < 64; w++) d[w] = -d[w];
+    for (int w = 0; w < 64; w++)
+      out[(u64)(63 - w) * n + (u64)i] = (signed char)d[w];
+  }
+  return overflow;
+}
+
 // pairwise ops for testing: out = a + b
 void vmpc_ed_add(const u64 *a, const u64 *b, u64 *out) {
   init_constants();

@@ -40,16 +40,31 @@ def _tree_reduce(cls, terms):
     return terms[0]
 
 
+import os as _os
+import time as _time
+
+_TIMING = bool(_os.environ.get("VMPC_ENGINE_TIMING"))
+
+
 def multiexp(bases, exponents):
     """prod_i bases[i] ** exponents[i] (exponents: ints or field elements)."""
     if not bases:
         raise ValueError("empty multiexp")
+    t0 = _time.perf_counter() if _TIMING and len(bases) >= 32768 else None
     exponents = [int(e) for e in exponents]
     cls = type(bases[0])
     backend = _MSM_BACKENDS.get(cls)
     if backend is not None and len(bases) >= backend[1]:
-        return backend[0](bases, exponents)
-    return _host_multiexp(bases, exponents)
+        out = backend[0](bases, exponents)
+    else:
+        out = _host_multiexp(bases, exponents)
+    if t0 is not None:
+        print(
+            f"    [dispatch] multiexp n={len(bases)}: "
+            f"{_time.perf_counter() - t0:7.3f}s",
+            flush=True,
+        )
+    return out
 
 
 def list_mul(x):

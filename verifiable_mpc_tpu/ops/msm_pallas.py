@@ -32,6 +32,7 @@ machinery.
 
 from __future__ import annotations
 
+import collections
 import functools
 
 import numpy as np
@@ -103,7 +104,21 @@ def _digits_signed_from_u64x4(arr: np.ndarray, order: int) -> np.ndarray:
     """[m, 4] u64 canonical residues (< order) -> [64, m] int8 signed
     digits, byte-identical to :func:`_scalar_digits_signed` but fully
     vectorized — the object-int path costs ~1 us/scalar, real time on the
-    2^17-scalar protocol rounds."""
+    2^17-scalar protocol rounds.  Dispatches to the C recode
+    (native.recode_signed4_arr, ~30x the numpy pass at 2^18) when the
+    native tier is loaded; the numpy body below is the fallback and the
+    parity oracle (tests/test_msm_pallas.py)."""
+    from .. import native
+
+    if len(arr) >= 512 and native.load() is not None:
+        return native.recode_signed4_arr(
+            np.ascontiguousarray(arr, np.uint64), order
+        )
+    return _digits_signed_from_u64x4_np(arr, order)
+
+
+def _digits_signed_from_u64x4_np(arr: np.ndarray, order: int) -> np.ndarray:
+    """Pure-numpy body of :func:`_digits_signed_from_u64x4`."""
     o_l, h_l = _order_limbs(order)
     a = np.ascontiguousarray(arr, np.uint64)
     m = a.shape[0]
@@ -692,6 +707,41 @@ def _build_for_fused(curve, n: int, chunk: int, sub: int, nwindows: int,
     return jax.jit(run)
 
 
+_ED_ENC_CACHE = collections.OrderedDict()
+_ED_ENC_CACHE_MAX = 4
+
+
+def ed_encode_cached(points):
+    """(host [n,16] u64 rows, device 4 x [n,L] u32 coords) for an Ed25519
+    point list, LRU-cached by element identity.
+
+    One AC20 prove walks the SAME generator vector three times — the
+    z-commitment MSM (circuit_sat_cb.py:100), protocol 5's A commitment
+    (compressed_pivot.py:282) and the resident engine's device upload
+    (pivot_tpu.py) — and production CRS vectors are reused across proves;
+    each walk previously paid a full host re-encode + upload.  The value
+    holds a reference to the point list, so the id-tuple key cannot alias
+    a dead object.  Requires the native converter (caller falls back to
+    ``curve.encode`` without it)."""
+    from .. import native
+
+    key = tuple(map(id, points))
+    hit = _ED_ENC_CACHE.get(key)
+    if hit is not None:
+        _ED_ENC_CACHE.move_to_end(key)
+        return hit[0], hit[1]
+    rows = native._pts_to_u64(list(points))
+    u16 = rows.view(np.uint16)  # [n, 64] little-endian: 16 limbs per coord
+    dev = tuple(
+        jnp.asarray(u16[:, 16 * j : 16 * (j + 1)].astype(np.uint32))
+        for j in range(4)
+    )
+    _ED_ENC_CACHE[key] = (rows, dev, list(points))
+    while len(_ED_ENC_CACHE) > _ED_ENC_CACHE_MAX:
+        _ED_ENC_CACHE.popitem(last=False)
+    return rows, dev
+
+
 def _msm_generic(curve, points, scalars, chunk, sub, interpret):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -709,7 +759,12 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
     if pad:
         points = list(points) + [curve.group_cls.identity] * pad
         scalars = list(scalars) + [0] * pad
-    dev_pts = curve.encode(points)
+    from .. import native
+
+    if curve is ED and not pad and n >= 4096 and native.fastser() is not None:
+        dev_pts = ed_encode_cached(points)[1]
+    else:
+        dev_pts = curve.encode(points)
     digits_np = _scalar_digits_signed_any(scalars, curve.order)  # [W, n] MSB 1st
     # trim all-zero leading windows (rounded to a sublane multiple of 8):
     # full-size scalars keep all 64, but short exponents (tests, small
