@@ -51,6 +51,16 @@ def main():
         "(faster, NOT reference-parity)",
     )
     parser.add_argument(
+        "--group", choices=["ed25519", "qr"], default="ed25519",
+        help="qr: 1024-bit safe-prime quadratic residues (BASELINE config 1, "
+        "reference demos/demo_zkp_ac20.py:51 default group)",
+    )
+    parser.add_argument(
+        "--pivot", choices=["compressed", "koe"], default="compressed",
+        help="koe: knowledge-of-exponent pivot over BN256 pairing groups "
+        "(reference knowledge_of_exponent.py; setup is 2n fixed-base exps)",
+    )
+    parser.add_argument(
         "--repeat", type=int, default=1,
         help="prove/verify N times and report the LAST iteration: the jit "
         "backend pays one-time per-process tracing/compile-cache costs on "
@@ -72,8 +82,23 @@ def main():
     n_muls = 1 << args.log2_muls
     phases = Phases()
 
-    group = EllipticCurve("Ed25519", "projective")
-    gf = GF(group.order)
+    pivot_choice = (
+        cs.PivotChoice.koe if args.pivot == "koe" else cs.PivotChoice.compressed
+    )
+    if pivot_choice == cs.PivotChoice.koe:
+        group = [
+            EllipticCurve("BN256", "jacobian"),
+            EllipticCurve("BN256_twist", "jacobian"),
+        ]
+        gf = GF(group[0].order)
+    elif args.group == "qr":
+        from verifiable_mpc_tpu.groups import QuadraticResidues
+
+        group = QuadraticResidues(l=1024)
+        gf = GF(group.order)
+    else:
+        group = EllipticCurve("Ed25519", "projective")
+        gf = GF(group.order)
 
     with phases.phase("build_circuit"):
         circuit = build_chain_circuit(n_muls, gf)
@@ -92,16 +117,16 @@ def main():
         tag = "" if rep == args.repeat - 1 else f"_warmup{rep}"
         with phases.phase("generators" + tag):
             generators = cs.create_generators(
-                g_length, cs.PivotChoice.compressed, group
+                g_length, pivot_choice, group
             )
         with phases.phase("prove" + tag):
             proof = cs.circuit_sat_prover(
-                generators, circuit, x, gf, cs.PivotChoice.compressed,
+                generators, circuit, x, gf, pivot_choice,
                 transcript=args.transcript,
             )
         with phases.phase("verify" + tag):
             verification = cs.circuit_sat_verifier(
-                proof, generators, circuit, gf, cs.PivotChoice.compressed,
+                proof, generators, circuit, gf, pivot_choice,
                 transcript=args.transcript,
             )
 
@@ -119,7 +144,7 @@ def main():
                 "metric": f"ac20_prove_seconds_2^{args.log2_muls}_muls",
                 "value": round(phases.durations["prove"], 3),
                 "unit": "s",
-                "backend": backend,
+                "backend": backend, "group": args.group, "pivot": args.pivot,
                 "transcript": args.transcript,
                 "verified": ok,
             }

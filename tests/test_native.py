@@ -218,3 +218,29 @@ def test_ed_encode_cached_identity_keyed():
     other = [g ** rng.randrange(1, ELL) for _ in range(16)]
     rows3, _ = mp.ed_encode_cached(other)
     assert rows3 is not rows1
+
+
+def test_recode_signed4_packed_matches_pack():
+    """One-pass C recode+pack == _pack_digits(numpy recode), including the
+    windows_needed trim decision."""
+    import numpy as np
+
+    from verifiable_mpc_tpu.ops.msm_pallas import (
+        NWINDOWS,
+        _digits_signed_from_u64x4_np,
+        _pack_digits,
+    )
+
+    rng = random.Random(80)
+    for vals in (
+        [rng.randrange(ELL) for _ in range(600)] + [0, 1, ELL - 1],
+        [rng.randrange(1 << 30) for _ in range(300)],  # short: nw trim
+        [0] * 64,
+    ):
+        arr = native._ints_to_u64x4(vals, ELL)
+        pk, wn = native.recode_signed4_packed_arr(arr, ELL)
+        d_np = _digits_signed_from_u64x4_np(arr, ELL)
+        assert np.array_equal(pk, _pack_digits(d_np))
+        nonzero = np.flatnonzero(d_np.any(axis=1))
+        expect_wn = NWINDOWS - nonzero[0] if nonzero.size else 1
+        assert wn == expect_wn, (wn, expect_wn)

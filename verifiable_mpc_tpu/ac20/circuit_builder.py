@@ -186,8 +186,29 @@ class Circuit:
                 # shallow copies: callers may extend/mutate the returned
                 # lists without poisoning later memo hits
                 return tuple(list(xs) for xs in cached)
+        if not plain:
+            # secure shares: identity-only memo (shares have no cheap
+            # equality).  Without it every output-gate evaluation
+            # (Circuit.__call__ -> eval) re-ran the FULL chain of GRR
+            # multiplication rounds over the network — the MPC prover
+            # called this pass once per output gate plus once for the
+            # protocol itself.
+            memo_s = getattr(self, "_triples_memo_secure", None)
+            if (
+                memo_s is not None
+                and memo_s[0] == self.gate_ct
+                and len(memo_s[1]) == len(inputs)
+                and all(a is b for a, b in zip(memo_s[1], inputs))
+            ):
+                return tuple(list(xs) for xs in memo_s[2])
         left_forms, right_forms = self.wire_forms()
         result = _native_triples(self, left_forms, right_forms, inputs)
+        if result is None and not plain and any(
+            _is_secure(v) for v in inputs
+        ):
+            result = _secure_triples_layered(
+                self, left_forms, right_forms, inputs
+            )
         if result is None:
             alpha = [0] * self.mul_ct
             beta = [0] * self.mul_ct
@@ -205,7 +226,8 @@ class Circuit:
             # list cannot match the memo
             self._triples_memo = (self.gate_ct, tuple(inputs), result)
             return tuple(list(xs) for xs in result)
-        return result
+        self._triples_memo_secure = (self.gate_ct, tuple(inputs), result)
+        return tuple(list(xs) for xs in result)
 
     def eval(self, inputs, gate):
         _, _, gamma = self.multiplication_triples(inputs)
@@ -596,6 +618,93 @@ def _native_triples(circuit, left_forms, right_forms, inputs):
         native.arr_to_vals(beta, gf),
         native.arr_to_vals(vals[circuit.input_ct :], gf),
     )
+
+
+def _mul_layers(circuit, left_forms, right_forms):
+    """Topological layers of mul-gate indices: a gate's depth is
+    1 + max(depth of the mul outputs its wire forms reference).  Cached on
+    the circuit (gates are append-only; the gate count keys validity)."""
+    key = len(circuit.gates)
+    cached = getattr(circuit, "_mul_layers_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    n = circuit.input_ct
+    m = circuit.mul_ct
+    depth = [0] * m
+    max_d = 0
+    for i in range(m):
+        d = 0
+        for sf in (left_forms[i], right_forms[i]):
+            for idx in sf.coeffs:
+                if idx >= n:
+                    dj = depth[idx - n] + 1
+                    if dj > d:
+                        d = dj
+        depth[i] = d
+        if d > max_d:
+            max_d = d
+    layers = [[] for _ in range(max_d + 1)]
+    for i in range(m):
+        layers[depth[i]].append(i)
+    circuit._mul_layers_cache = (key, layers)
+    return layers
+
+
+def _secure_triples_layered(circuit, left_forms, right_forms, inputs):
+    """MPC triples pass with layer-batched GRR multiplications.
+
+    The reference evaluates one secure multiplication per gate
+    (circuit_builder.py:133-151 over MPyC sectypes) — one degree-reduction
+    message round per gate.  Here all gates of one topological layer run
+    through a single ``mpc.schur_prod`` (one batched message round per
+    LAYER): a wide circuit's round count drops from its gate count to its
+    multiplicative depth.  The wire values are the same secrets — GRR
+    resharing randomness differs per run anyway, and share-level values
+    never enter proofs or transcripts.
+
+    Fast path first: when the caller's inputs ARE the recorded input
+    values (the prover always passes ``circuit.initial_inputs()``), the
+    mul-gate output values recorded at construction time are already
+    degree-t sharings of exactly the products this pass would recompute —
+    zero additional communication rounds."""
+    from ..mpc.runtime import SecureNumber, mpc
+
+    sec = type(inputs[0])
+    if not (isinstance(inputs[0], SecureNumber) and hasattr(mpc, "schur_prod")):
+        return None
+    rec = circuit.initial_inputs()
+    if len(rec) == len(inputs) and all(
+        a is b for a, b in zip(rec, inputs)
+    ):
+        mul_gs = circuit.mul_gates()
+        gammas = [g.output.value for g in mul_gs]
+        if all(isinstance(v, SecureNumber) for v in gammas):
+            vals = list(inputs) + gammas
+            alpha = [f.eval(vals) for f in left_forms]  # local linear ops
+            beta = [f.eval(vals) for f in right_forms]
+            return alpha, beta, gammas
+    layers = _mul_layers(circuit, left_forms, right_forms)
+    n = circuit.input_ct
+    m = circuit.mul_ct
+    alpha = [None] * m
+    beta = [None] * m
+    vals = list(inputs) + [None] * m
+    for layer in layers:
+        la = [left_forms[i].eval(vals) for i in layer]
+        lb = [right_forms[i].eval(vals) for i in layer]
+        prods = mpc.schur_prod(la, lb)  # ONE message round for the layer
+
+        def _pick(j, task=prods):
+            async def coro():
+                return (await task)[j]
+
+            return coro()
+
+        for j, i in enumerate(layer):
+            alpha[i] = la[j]
+            beta[i] = lb[j]
+            vals[n + i] = sec(mpc._task(_pick(j)))
+    return alpha, beta, vals[n:]
 
 
 def construct_sparse_form(gate, circuit, wire=None) -> SparseForm:

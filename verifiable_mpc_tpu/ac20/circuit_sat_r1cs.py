@@ -323,10 +323,30 @@ def calculate_fgh_evaluations(a, b, gf):
     r_b = rng.randrange(1, gf.order)
     f_vals = [int(gf(v)) % p for v in a] + [r_a]  # f(1..m+1)
     g_vals = [int(gf(v)) % p for v in b] + [r_b]
-    # consecutive sample points -> shift-of-evaluations (one NTT convolution
-    # per target range) instead of interpolate + subproduct-tree multipoint
-    f0 = fastpoly.shift_evaluations(f_vals, 1, 0, 1, p)[0]
-    g0 = fastpoly.shift_evaluations(g_vals, 1, 0, 1, p)[0]
+    # single-point evaluations at 0: one C Lagrange row (consecutive nodes,
+    # one modular inversion) + one C dot each — a count=1 shift_evaluations
+    # paid a full NTT convolution per value
+    f0 = g0 = None
+    if m + 1 >= 64:
+        from ..ops import modvec
+        from .recombine import _recombination_vectors
+
+        if modvec._native_ok(gf):
+            from .. import native
+
+            row = _recombination_vectors(gf, tuple(range(1, m + 2)), (0,))[0]
+            row_arr = native._ints_to_u64x4([int(w) % p for w in row], p)
+            f0 = native.mod_dot_arr(
+                row_arr, native._ints_to_u64x4(f_vals, p), p
+            )
+            g0 = native.mod_dot_arr(
+                row_arr, native._ints_to_u64x4(g_vals, p), p
+            )
+    if f0 is None:
+        # consecutive sample points -> shift-of-evaluations (one NTT
+        # convolution per target range)
+        f0 = fastpoly.shift_evaluations(f_vals, 1, 0, 1, p)[0]
+        g0 = fastpoly.shift_evaluations(g_vals, 1, 0, 1, p)[0]
     if m >= 2:
         f_hi = fastpoly.shift_evaluations(f_vals, 1, m + 2, m - 1, p)
         g_hi = fastpoly.shift_evaluations(g_vals, 1, m + 2, m - 1, p)

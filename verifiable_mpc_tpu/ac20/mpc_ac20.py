@@ -47,7 +47,9 @@ def vector_commitment(x, gamma, g, h):
 async def create_generators(group, sectype, input_length):
     """Jointly sampled, trapdoor-free generators (reference :45-51)."""
     h = group.generator
-    random_exponents = [mpc._random(sectype) for _ in range(input_length + 1)]
+    # ONE message round for the whole vector (was one _random round per
+    # generator: 4096+ rounds at 2^10 muls, probe_mpc_tcp op counts)
+    random_exponents = mpc.random_vec(sectype, input_length + 1)
     # one batched round (per-party fixed-base comb + vectorized
     # exponent-space recombination) instead of one secure_repeat per
     # generator — value-equivalent, same revealed points
@@ -197,7 +199,7 @@ async def protocol_5_prover(generators, P, L, y, x, gamma, gf):
     logger_cs_mpc.debug("Provers opened y.")
 
     order = gf.order
-    r = [mpc._random(secfld) for _ in range(n)]
+    r = mpc.random_vec(secfld, n)  # one round, not n
     rho = mpc._random(secfld)
     t = L(r)
     logger_cs_mpc.debug("Calculate A.")
@@ -358,7 +360,7 @@ async def prove_linear_form_eval(g, h, P, L, y, x, gamma, gf):
     L, y = pivot.affine_to_linear(L, y, n)
     y = await mpc.output(y)
 
-    r = [mpc._random(secfld) for _ in range(n)]
+    r = mpc.random_vec(secfld, n)  # one round, not n
     rho = mpc._random(secfld)
 
     t = L(r)

@@ -217,9 +217,12 @@ def vector_commitment(x, gamma, g, h):
 
     Routed through the MSM dispatcher: one multiexp of length len(x)+1
     instead of the reference's sequential loop (pivot.py:139-145).
-    """
+    Exponents pass through raw: ``int(gf_element)`` IS the reference's
+    ``_int`` signed representative (fields.py:40-44), and each dispatch
+    backend converts in one fused C pass — a [_int(xi) ...] pre-pass here
+    walked the 2^18-element z twice per commitment."""
     assert len(g) >= len(x), "Not enough generators."
-    return multiexp(list(g[: len(x)]) + [h], [_int(xi) for xi in x] + [int(gamma)])
+    return multiexp(list(g[: len(x)]) + [h], list(x) + [int(gamma)])
 
 
 def affine_to_linear(L, y, n):

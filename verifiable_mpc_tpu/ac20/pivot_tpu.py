@@ -257,18 +257,16 @@ def _round_msms(g_dev, z_arr: np.ndarray):
 
     half = z_arr.shape[0] // 2
     with _T(f"  digits n={half}"):
-        digits_np = _digits_signed_u64x4(z_arr)  # [64, 2*half], C recode
-    nonzero = np.flatnonzero(digits_np.any(axis=1))
-    windows_needed = mp.NWINDOWS - nonzero[0] if nonzero.size else 1
-    nw = 8 if windows_needed <= 8 else mp.NWINDOWS
-    trimmed = digits_np[mp.NWINDOWS - nw :]
-    packed = nw % 2 == 0
-    d2 = np.stack([trimmed[:, :half], trimmed[:, half:]])
+        # one C pass: recode + offset-7 nibble pack (the numpy pack alone
+        # cost 0.2-1 s at the 2^18 round)
+        pk, wn = native.recode_signed4_packed_arr(z_arr, ELL)
+    nw = 8 if wn <= 8 else mp.NWINDOWS
+    full = pk[(mp.NWINDOWS - nw) // 2 :]
+    d2 = np.stack([full[:, :half], full[:, half:]])
     import jax.numpy as jnp
 
-    digits = jnp.asarray(mp._pack_digits(d2.swapaxes(0, 1)).swapaxes(0, 1)
-                         if packed else d2)
-    return _round_msms_call(half, nw, packed)(g_dev, digits)
+    digits = jnp.asarray(d2)
+    return _round_msms_call(half, nw, True)(g_dev, digits)
 
 
 def _k_pow(k_arr: np.ndarray, y_can: int) -> EdwardsPoint:

@@ -34,13 +34,33 @@ def create_generators(g_length, pivot_choice, group=None, progress_bar=False):
         g = batch_exp(h, random_exponents)
         return g, h
 
+    def prime_encode_cache(g, h):
+        """Pre-populate the device encode cache for [g ‖ h] — exactly the
+        base list of the z-commitment, protocol 5's A commitment and the
+        resident engine (they share one cache entry by element identity).
+        One-time setup cost here instead of inside the first prove."""
+        import sys
+
+        mp = sys.modules.get("verifiable_mpc_tpu.ops.msm_pallas")
+        if mp is None or not mp.REGISTERED or len(g) < 4096:
+            return  # TPU backends not active (native/pure runs stay off-device)
+        from ..groups.edwards import EdwardsPoint
+
+        if type(h) is EdwardsPoint:
+            from .. import native
+
+            if native.fastser() is not None:
+                mp.ed_encode_cached(list(g) + [h])
+
     if pivot_choice == PivotChoice.pivot:
         g, h = create_g_h()
         generators = {"g": g, "h": h}
+        prime_encode_cache(g, h)
     elif pivot_choice == PivotChoice.compressed:
         g, h = create_g_h()
         k = group.generator ** rng.randrange(1, group.order)
         generators = {"g": g, "h": h, "k": k}
+        prime_encode_cache(g, h)
     elif pivot_choice == PivotChoice.koe and isinstance(group, list):
         from . import knowledge_of_exponent as koe
 

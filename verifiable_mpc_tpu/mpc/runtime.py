@@ -35,6 +35,7 @@ import asyncio
 import contextvars
 import functools
 import hashlib
+import os as _os
 import random as _random
 import types
 
@@ -42,6 +43,7 @@ from ..fields import GF, FiniteFieldElement
 from . import shamir
 
 _sysrand = _random.SystemRandom()
+_OPCOUNT = bool(_os.environ.get("VMPC_MPC_OPCOUNT"))
 
 _ctx_runtime: contextvars.ContextVar = contextvars.ContextVar("vmpc_runtime")
 
@@ -203,6 +205,7 @@ class Runtime:
         self.hub = hub
         self._pc = 0
         self.parties = [f"Party({i})" for i in range(m)]
+        self.op_counts = {}
 
     # -- program-order op ids ---------------------------------------------
     def _next_pc(self):
@@ -212,8 +215,20 @@ class Runtime:
     def _task(self, coro):
         return asyncio.get_running_loop().create_task(coro)
 
+    # -- round accounting (VMPC_MPC_OPCOUNT=1: per-kind message-round
+    # counters, printed by probes — the round-count vs gate-count evidence
+    # for the TCP prover scaling work) -------------------------------------
+    def _count(self, op_id):
+        if not _OPCOUNT:
+            return
+        kind = op_id
+        while isinstance(kind, tuple) and kind:
+            kind = kind[0]
+        self.op_counts[str(kind)] = self.op_counts.get(str(kind), 0) + 1
+
     # -- transport ---------------------------------------------------------
     async def _exchange(self, op_id, payload):
+        self._count(op_id)
         """All-to-all: send payload, receive everyone's (list by pid)."""
         if self.m == 1:
             return [payload]
@@ -230,6 +245,7 @@ class Runtime:
 
     async def _scatter_gather(self, op_id, per_dst_payloads):
         """Send per_dst_payloads[j] to party j; receive one payload from each."""
+        self._count(op_id)
         if self.m == 1:
             return [per_dst_payloads[0]]
         for dst in range(self.m):
@@ -249,6 +265,21 @@ class Runtime:
 
     async def shutdown(self):
         await self.barrier()
+        self.report_op_counts()
+
+    def report_op_counts(self):
+        if _OPCOUNT and self.op_counts:
+            total = sum(self.op_counts.values())
+            print(
+                f"[mpc pid={self.pid}] message rounds: {total} — "
+                + ", ".join(
+                    f"{k}={v}"
+                    for k, v in sorted(
+                        self.op_counts.items(), key=lambda kv: -kv[1]
+                    )
+                ),
+                flush=True,
+            )
 
     async def barrier(self):
         op_id = ("barrier", self._next_pc())
@@ -284,6 +315,25 @@ class Runtime:
             return field(acc)
 
         return sectype(self._task(coro()))
+
+    def random_vec(self, sectype, count: int) -> list:
+        """count uniform random shared elements in ONE message round.
+
+        The per-element ``_random`` costs one scatter-gather each — the
+        MPC generator setup and the protocol-5 blinding vector drew O(n)
+        rounds that way (measured 8197 of 10404 total rounds at 2^10,
+        probes/probe_mpc_tcp.py)."""
+        base = ("randvec", self._next_pc())
+        field = sectype.field
+        task = self._task(self._random_vec(base, field, count))
+
+        def _pick(j):
+            async def coro():
+                return (await task)[j]
+
+            return coro()
+
+        return [sectype(self._task(_pick(j))) for j in range(count)]
 
     # -- multiplication / reciprocal / zero test --------------------------
     def mul(self, a: SecureNumber, b: SecureNumber):

@@ -323,6 +323,7 @@ class TcpRuntime(Runtime):
 
     async def shutdown(self):
         await self.barrier()
+        self.report_op_counts()
         await asyncio.sleep(0.05)  # let in-flight frames drain
         await self.hub.close()
 

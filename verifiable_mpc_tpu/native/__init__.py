@@ -132,6 +132,10 @@ def load():
         ctypes.POINTER(ctypes.c_int8),
     ]
     lib.vmpc_recode_signed4.restype = ctypes.c_int
+    lib.vmpc_recode_signed4_packed.argtypes = [
+        u64p, ctypes.c_uint64, u64p, u64p, u8p,
+    ]
+    lib.vmpc_recode_signed4_packed.restype = ctypes.c_longlong
     lib.vmpc_modvec_hash_encode_signed.argtypes = [
         u64p, u64p, ctypes.c_uint64, u8p, u64p,
     ]
@@ -656,6 +660,22 @@ def recode_signed4_arr(scalars: np.ndarray, order: int) -> np.ndarray:
     )
     assert rc == 0, "scalar overflow in signed recoding"
     return out
+
+
+def recode_signed4_packed_arr(scalars: np.ndarray, order: int):
+    """[n,4] u64 canonical residues -> ([32,n] u8 offset-7 nibble-packed
+    MSB-first digit rows, windows_needed).  One C pass replacing recode +
+    ops/msm_pallas._pack_digits (the numpy pack cost 0.2-1.1 s at 2^18)."""
+    lib = load()
+    n = len(scalars)
+    o4, h4 = _order_half_limbs(order)
+    out = np.empty((32, n), dtype=np.uint8)
+    wn = lib.vmpc_recode_signed4_packed(
+        _u64p(np.ascontiguousarray(scalars, np.uint64)), n, _u64p(o4),
+        _u64p(h4), _u8p(out),
+    )
+    assert wn > 0, "scalar overflow in signed recoding"
+    return out, int(wn)
 
 
 def mod_hash_encode_signed_arr(vals: np.ndarray, p: int) -> bytes:

@@ -743,6 +743,72 @@ int vmpc_recode_signed4(const u64 *scalars, u64 n, const u64 *order,
   return overflow;
 }
 
+// Recode + offset-7 nibble pack in one pass: out is [32, n] u8, row j
+// packing MSB-first digit rows (2j, 2j+1) as lo | hi<<4 — byte-identical
+// to ops/msm_pallas._pack_digits over the [64, n] recode.  Returns the
+// max windows_needed over all scalars (64 - first nonzero MSB row; >= 1),
+// or -1 on digit-carry overflow.  Trimming to 8 windows is a row slice
+// (out[28:]) on the caller.
+long long vmpc_recode_signed4_packed(const u64 *scalars, u64 n,
+                                     const u64 *order, const u64 *half,
+                                     unsigned char *out) {
+  int overflow = 0;
+  long long wneed = 1;
+#pragma omp parallel for schedule(static) reduction(| : overflow) \
+    reduction(max : wneed)
+  for (long long i = 0; i < (long long)n; i++) {
+    const u64 *a = scalars + i * 4;
+    int neg = 0;
+    for (int j = 3; j >= 0; j--) {
+      if (a[j] > half[j]) {
+        neg = 1;
+        break;
+      }
+      if (a[j] < half[j]) break;
+    }
+    u64 bal[4];
+    if (neg) {
+      u64 borrow = 0;
+      for (int j = 0; j < 4; j++) {
+        u128 diff = (u128)order[j] - a[j] - borrow;
+        bal[j] = (u64)diff;
+        borrow = (u64)((diff >> 64) & 1);
+      }
+    } else {
+      memcpy(bal, a, 32);
+    }
+    int d[64];
+    for (int w = 0; w < 64; w++)
+      d[w] = (int)((bal[w >> 4] >> ((w & 15) * 4)) & 0xF);
+    const int thresh = neg ? 8 : 9;
+    int carry = 0;
+    for (int w = 0; w < 64; w++) {
+      int v = d[w] + carry;
+      carry = v >= thresh;
+      d[w] = v - 16 * carry;
+    }
+    overflow |= carry;
+    if (neg)
+      for (int w = 0; w < 64; w++) d[w] = -d[w];
+    long long top = 0;  // highest little-endian window with a nonzero digit
+    for (int w = 63; w >= 0; w--) {
+      if (d[w]) {
+        top = w + 1;
+        break;
+      }
+    }
+    if (top > wneed) wneed = top;
+    // MSB-first row of little-endian window w is (63 - w); packed row j
+    // holds rows (2j, 2j+1) -> windows (63-2j, 62-2j)
+    for (int j = 0; j < 32; j++) {
+      unsigned lo = (unsigned)(d[63 - 2 * j] + 7);
+      unsigned hi = (unsigned)(d[62 - 2 * j] + 7);
+      out[(u64)j * n + (u64)i] = (unsigned char)(lo | (hi << 4));
+    }
+  }
+  return overflow ? -1 : wneed;
+}
+
 // pairwise ops for testing: out = a + b
 void vmpc_ed_add(const u64 *a, const u64 *b, u64 *out) {
   init_constants();

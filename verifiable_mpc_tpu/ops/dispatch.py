@@ -51,13 +51,15 @@ def multiexp(bases, exponents):
     if not bases:
         raise ValueError("empty multiexp")
     t0 = _time.perf_counter() if _TIMING and len(bases) >= 32768 else None
-    exponents = [int(e) for e in exponents]
     cls = type(bases[0])
     backend = _MSM_BACKENDS.get(cls)
     if backend is not None and len(bases) >= backend[1]:
+        # backends convert scalars themselves in ONE fused C pass
+        # (native._scalars_to_u64 / msm_pallas._scalar_digits_signed_any);
+        # a [int(e) ...] pre-pass here walked 2^18 objects per commitment
         out = backend[0](bases, exponents)
     else:
-        out = _host_multiexp(bases, exponents)
+        out = _host_multiexp(bases, [int(e) for e in exponents])
     if t0 is not None:
         print(
             f"    [dispatch] multiexp n={len(bases)}: "

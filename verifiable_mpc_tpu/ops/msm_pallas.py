@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..fields import FiniteFieldElement
 from ..groups.edwards import ELL, EdwardsPoint
 from . import curve_ed as ced
 from . import dispatch
@@ -160,6 +161,25 @@ def _digits_signed_from_u64x4_np(arr: np.ndarray, order: int) -> np.ndarray:
     return np.ascontiguousarray(digs[::-1].astype(np.int8))
 
 
+def _scalars_to_u64x4_any(scalars, order: int) -> np.ndarray:
+    """[n,4] u64 canonical residues from an int/field scalar list, in one
+    fused C pass when the leading elements are field elements (type check +
+    .value + limb export); [int(s) ...] + bigint walk otherwise."""
+    from .. import native
+
+    for s in scalars[:4]:
+        ff = type(s)
+        if (
+            isinstance(s, FiniteFieldElement)
+            and getattr(ff, "modulus", 0) == order
+        ):
+            arr = native.vals_to_arr(scalars, ff, order, int_mode=1)
+            if arr is not None:
+                return arr
+            break
+    return native._ints_to_u64x4([int(s) for s in scalars], order)
+
+
 def _scalar_digits_signed_any(scalars, order: int) -> np.ndarray:
     """Signed digit stream for arbitrary int/field scalars: C bigint ->
     u64x4 conversion + the vectorized recode when the native extension is
@@ -167,9 +187,23 @@ def _scalar_digits_signed_any(scalars, order: int) -> np.ndarray:
     from .. import native
 
     if native.fastser() is not None and order.bit_length() <= 256:
-        arr = native._ints_to_u64x4([int(s) for s in scalars], order)
-        return _digits_signed_from_u64x4(arr, order)
+        return _digits_signed_from_u64x4(
+            _scalars_to_u64x4_any(scalars, order), order
+        )
     return _scalar_digits_signed(scalars, order)
+
+
+def _digits_packed_any(scalars, order: int):
+    """(packed digits [nw/2, n] u8, nw) via the one-pass C recode+pack, or
+    None when the native tier is absent (caller runs the numpy path)."""
+    from .. import native
+
+    if native.fastser() is None or order.bit_length() > 256:
+        return None
+    arr = _scalars_to_u64x4_any(scalars, order)
+    pk, wn = native.recode_signed4_packed_arr(arr, order)
+    nw = 8 if wn <= 8 else NWINDOWS
+    return pk[(NWINDOWS - nw) // 2 :], nw
 
 
 # ---------------------------------------------------------------------------
@@ -765,19 +799,25 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
         dev_pts = ed_encode_cached(points)[1]
     else:
         dev_pts = curve.encode(points)
-    digits_np = _scalar_digits_signed_any(scalars, curve.order)  # [W, n] MSB 1st
-    # trim all-zero leading windows (rounded to a sublane multiple of 8):
-    # full-size scalars keep all 64, but short exponents (tests, small
-    # bit-length batches) shrink the whole [L, W, C] working set
-    nonzero = np.flatnonzero(digits_np.any(axis=1))
-    windows_needed = NWINDOWS - nonzero[0] if nonzero.size else 1
-    if interpret:  # exact trim keeps interpret-mode tests fast
-        nw = max(1, int(windows_needed))
-    else:  # two window counts only (8 | 64): each is its own Mosaic compile
-        nw = 8 if windows_needed <= 8 else NWINDOWS
-    trimmed = digits_np[NWINDOWS - nw:]
-    packed = not interpret and nw % 2 == 0  # halves the digit upload
-    digits = jnp.asarray(_pack_digits(trimmed) if packed else trimmed)
+    fast = None if interpret else _digits_packed_any(scalars, curve.order)
+    if fast is not None:
+        pk, nw = fast
+        packed = True
+        digits = jnp.asarray(pk)
+    else:
+        digits_np = _scalar_digits_signed_any(scalars, curve.order)  # [W, n]
+        # trim all-zero leading windows (rounded to a sublane multiple of
+        # 8): full-size scalars keep all 64, but short exponents (tests,
+        # small bit-length batches) shrink the whole [L, W, C] working set
+        nonzero = np.flatnonzero(digits_np.any(axis=1))
+        windows_needed = NWINDOWS - nonzero[0] if nonzero.size else 1
+        if interpret:  # exact trim keeps interpret-mode tests fast
+            nw = max(1, int(windows_needed))
+        else:  # two window counts only (8 | 64): own Mosaic compile each
+            nw = 8 if windows_needed <= 8 else NWINDOWS
+        trimmed = digits_np[NWINDOWS - nw:]
+        packed = not interpret and nw % 2 == 0  # halves the digit upload
+        digits = jnp.asarray(_pack_digits(trimmed) if packed else trimmed)
     out = _build_for_fused(curve, target, chunk, sub, nw, interpret, packed)(
         tuple(dev_pts), digits
     )
@@ -1353,8 +1393,13 @@ def batch_exp_comb(base, exponents, chunk: int = 128, sub: int = 8,
     return _batch_exp_comb_generic(ED, base, exponents, chunk, sub, interpret)
 
 
+REGISTERED = False  # set once register() installed the TPU backends
+
+
 def register(min_batch: int = 512, chunk: int = 128):
     """Install the fused kernels as the Ed25519 dispatch backends."""
+    global REGISTERED
+    REGISTERED = True
     dispatch.register_msm_backend(
         EdwardsPoint, lambda pts, sc: msm(pts, sc, chunk=chunk), min_batch
     )
