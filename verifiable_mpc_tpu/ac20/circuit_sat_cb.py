@@ -95,9 +95,18 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
         )
         z_commitment = {"P": z_commitment_P, "pi": z_commitment_pi}
         proof["z_commitment"] = z_commitment
+        circuit_forms = cb.calculate_circuit_forms(circuit)
+        circuit_forms = [cb.convert_to_ac20(f, circuit) for f in circuit_forms]
+        outputs = circuit(x)
     else:
         logger_cs2.debug("Calculate [Z].")
-        z_commitment = pivot.vector_commitment(z, gamma, g, h)
+        commit = pivot.vector_commitment_async(z, gamma, g, h)
+        # challenge-independent host work overlaps the commitment MSM's
+        # device time (TPU backend; host tiers computed eagerly above)
+        circuit_forms = cb.calculate_circuit_forms(circuit)
+        circuit_forms = [cb.convert_to_ac20(f, circuit) for f in circuit_forms]
+        outputs = circuit(x)
+        z_commitment = commit()
         if hasattr(z_commitment, "normalize"):
             # canonical representative: this value feeds the first
             # Fiat-Shamir hash RAW (reference :107 hashes it unnormalized),
@@ -135,9 +144,7 @@ def protocol_8_excl_pivot_prover(generators, circuit, x, gf, use_koe=False):
     proof["y2"] = y2
     proof["y3"] = y3
 
-    circuit_forms = cb.calculate_circuit_forms(circuit)
-    circuit_forms = [cb.convert_to_ac20(f, circuit) for f in circuit_forms]
-    outputs = circuit(x)
+    # circuit_forms / outputs computed above (overlapping the commitment)
     proof["outputs"] = outputs
 
     lin_forms = [form - y for form, y in zip(circuit_forms, outputs)] + [

@@ -225,6 +225,16 @@ def vector_commitment(x, gamma, g, h):
     return multiexp(list(g[: len(x)]) + [h], list(x) + [int(gamma)])
 
 
+def vector_commitment_async(x, gamma, g, h):
+    """Launch :func:`vector_commitment`; returns a zero-arg thunk.  With
+    the TPU backend the MSM overlaps host work done before the thunk runs
+    (identical result either way)."""
+    from ..ops.dispatch import multiexp_async
+
+    assert len(g) >= len(x), "Not enough generators."
+    return multiexp_async(list(g[: len(x)]) + [h], list(x) + [int(gamma)])
+
+
 def affine_to_linear(L, y, n):
     """Shift an affine form (and claimed evaluation) to a linear form
     (reference pivot.py:148-153).

@@ -45,7 +45,10 @@ logger_cp_hin = logging.getLogger("compressed_pivot_hash_inputs")
 logger_cp_hout = logging.getLogger("compressed_pivot_hash_outputs")
 
 ENABLED = False
-_CUTOVER = 4096  # smallest half-size folded on the TPU
+# smallest half-size folded on the TPU: a TPU round costs ~2 fetch
+# latencies (~50-70 ms) regardless of size, the host tiers ~100 ms+ per
+# round at 1024-2048 — measured crossover sits just below 1024
+_CUTOVER = 1024
 
 _L = 16  # 16-bit limbs per 256-bit coordinate
 

@@ -69,6 +69,44 @@ def multiexp(bases, exponents):
     return out
 
 
+_MSM_ASYNC_BACKENDS = {}  # group class -> callable(points, scalars) -> thunk
+
+
+def register_msm_async_backend(group_cls, fn, min_batch: int = _MIN_TPU_BATCH):
+    _MSM_ASYNC_BACKENDS[group_cls] = (fn, min_batch)
+
+
+def multiexp_async(bases, exponents):
+    """Launch a multiexp; returns a zero-arg callable producing the point.
+
+    With an async-capable backend (the TPU kernels) the device work and
+    result transfer overlap whatever the caller does before invoking the
+    thunk — e.g. protocol 8 builds its circuit forms while the z-commitment
+    MSM runs.  Otherwise computes eagerly and returns the wrapped result
+    (host tiers block anyway)."""
+    if not bases:
+        raise ValueError("empty multiexp")
+    backend = _MSM_ASYNC_BACKENDS.get(type(bases[0]))
+    if backend is not None and len(bases) >= backend[1]:
+        t0 = _time.perf_counter() if _TIMING and len(bases) >= 32768 else None
+        thunk = backend[0](bases, exponents)
+        if t0 is None:
+            return thunk
+
+        def timed():
+            out = thunk()
+            print(
+                f"    [dispatch] multiexp_async n={len(bases)}: "
+                f"{_time.perf_counter() - t0:7.3f}s to fetch",
+                flush=True,
+            )
+            return out
+
+        return timed
+    out = multiexp(bases, exponents)
+    return lambda: out
+
+
 def list_mul(x):
     """Group product of a list (reference pivot.py:26-28)."""
     cls = type(x[0])

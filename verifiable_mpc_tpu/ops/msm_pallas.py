@@ -776,7 +776,7 @@ def ed_encode_cached(points):
     return rows, dev
 
 
-def _msm_generic(curve, points, scalars, chunk, sub, interpret):
+def _msm_generic(curve, points, scalars, chunk, sub, interpret, lazy=False):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = len(points)
@@ -821,6 +821,12 @@ def _msm_generic(curve, points, scalars, chunk, sub, interpret):
     out = _build_for_fused(curve, target, chunk, sub, nw, interpret, packed)(
         tuple(dev_pts), digits
     )
+    if lazy:
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        return lambda: curve.decode_one(tuple(np.asarray(out)))
     return curve.decode_one(tuple(np.asarray(out)))  # one [nc, L] transfer
 
 
@@ -828,6 +834,13 @@ def msm(points, scalars, chunk: int = 128, sub: int | None = None,
         interpret: bool | None = None):
     """prod points[i] ** scalars[i] via the fused Pallas kernel (Ed25519)."""
     return _msm_generic(ED, points, scalars, chunk, sub, interpret)
+
+
+def msm_async(points, scalars, chunk: int = 128, sub: int | None = None):
+    """Launch an Ed25519 MSM; returns a zero-arg thunk yielding the point —
+    kernel compute and the result transfer overlap host work done before
+    the thunk runs (dispatch.multiexp_async backend)."""
+    return _msm_generic(ED, points, scalars, chunk, sub, False, lazy=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1402,6 +1415,10 @@ def register(min_batch: int = 512, chunk: int = 128):
     REGISTERED = True
     dispatch.register_msm_backend(
         EdwardsPoint, lambda pts, sc: msm(pts, sc, chunk=chunk), min_batch
+    )
+    dispatch.register_msm_async_backend(
+        EdwardsPoint, lambda pts, sc: msm_async(pts, sc, chunk=chunk),
+        min_batch,
     )
     dispatch.register_fold_backend(
         EdwardsPoint, lambda gl, gr, c: fold(gl, gr, c, chunk=chunk), min_batch
