@@ -244,3 +244,49 @@ def test_recode_signed4_packed_matches_pack():
         nonzero = np.flatnonzero(d_np.any(axis=1))
         expect_wn = NWINDOWS - nonzero[0] if nonzero.size else 1
         assert wn == expect_wn, (wn, expect_wn)
+
+
+def test_qr_native_backends_match_python():
+    """QR 1024-bit Montgomery tier (native/qr.cc): multiexp / batch-exp /
+    fold value-identical to the Python pow() path (canonical residues, so
+    transcripts are byte-identical too)."""
+    from verifiable_mpc_tpu.groups import QuadraticResidues
+    from verifiable_mpc_tpu.ops import dispatch
+
+    grp = QuadraticResidues(l=1024)
+    q = grp.order
+    rng = random.Random(31)
+    g = grp.generator
+    bases = [g ** rng.randrange(1, q) for _ in range(48)]
+    exps = [rng.randrange(q) for _ in range(44)] + [0, 1, q - 1, -7]
+    assert native.qr_multiexp(grp, bases, exps) == dispatch._host_multiexp(
+        bases, [int(e) for e in exps]
+    )
+    be = native.qr_batch_exp(g, exps)
+    assert all(v == g ** e for e, v in zip(exps, be))
+    c = rng.randrange(1, q)
+    fl = native.qr_fold(bases[:24], bases[24:48], c)
+    assert all(
+        v == (a ** c) * b for a, b, v in zip(bases[:24], bases[24:], fl)
+    )
+
+
+def test_qr_dispatch_registration():
+    """enable_native + the QR factory register the C tier for QR classes
+    (created before OR after enable), and dispatched ops stay
+    value-identical."""
+    import verifiable_mpc_tpu
+    from verifiable_mpc_tpu.groups import QuadraticResidues
+    from verifiable_mpc_tpu.ops import dispatch
+
+    assert verifiable_mpc_tpu.enable_native()
+    grp = QuadraticResidues(l=1024)
+    assert grp in dispatch._MSM_BACKENDS
+    rng = random.Random(32)
+    g = grp.generator
+    q = grp.order
+    bases = [g ** rng.randrange(1, q) for _ in range(40)]
+    exps = [rng.randrange(q) for _ in range(40)]
+    assert dispatch.multiexp(bases, exps) == dispatch._host_multiexp(
+        bases, exps
+    )

@@ -127,6 +127,9 @@ class QuadraticResidueElement(FiniteGroupElement):
         return self.value
 
 
+_CLASSES: list = []  # every class the factory produced (late registration)
+
+
 @functools.lru_cache(maxsize=None)
 def QuadraticResidues(l: int = 2048):
     """Return the QR group class for a deterministic safe prime of l bits."""
@@ -137,4 +140,15 @@ def QuadraticResidues(l: int = 2048):
     cls.order = (p - 1) // 2
     cls.identity = cls(1)
     cls.generator = cls(4)
+    _CLASSES.append(cls)
+    from .. import native
+
+    if native.REGISTERED:
+        # C Montgomery/Pippenger tier (native/qr.cc); enable_native
+        # registers classes created before it ran via _created_classes
+        native.register_qr(cls)
     return cls
+
+
+def _created_classes() -> list:
+    return list(_CLASSES)

@@ -27,6 +27,7 @@ _SRCS = [
     os.path.join(_HERE, "bn256.cc"),
     os.path.join(_HERE, "ntt.cc"),
     os.path.join(_HERE, "modvec.cc"),
+    os.path.join(_HERE, "qr.cc"),
 ]
 _SO = os.path.join(_HERE, "_vmpc_native.so")
 
@@ -136,6 +137,11 @@ def load():
         u64p, ctypes.c_uint64, u64p, u64p, u8p,
     ]
     lib.vmpc_recode_signed4_packed.restype = ctypes.c_longlong
+    lib.vmpc_qr_multiexp.argtypes = [u64p, u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_qr_batch_exp.argtypes = [u64p, u64p, u64p, ctypes.c_uint64, u64p]
+    lib.vmpc_qr_fold.argtypes = [
+        u64p, u64p, u64p, u64p, ctypes.c_uint64, u64p,
+    ]
     lib.vmpc_modvec_hash_encode_signed.argtypes = [
         u64p, u64p, ctypes.c_uint64, u8p, u64p,
     ]
@@ -810,6 +816,90 @@ def ntt_poly_mul_ints(a, b) -> list:
     return _u64x9_to_ints(out)
 
 
+# ---------------------------------------------------------------------------
+# QR (quadratic residues mod a 1024-bit safe prime): Pippenger multiexp,
+# fixed-base comb and the protocol-4 fold in 16-limb Montgomery C
+# (native/qr.cc).  The reference runs these as Python pow() loops.
+# ---------------------------------------------------------------------------
+
+
+def _ints_to_u64x16(vals, mod: int) -> np.ndarray:
+    n = len(vals)
+    buf = bytearray(n * 128)
+    for i, v in enumerate(vals):
+        buf[i * 128 : (i + 1) * 128] = (int(v) % mod).to_bytes(128, "little")
+    return np.frombuffer(bytes(buf), dtype=np.uint64).reshape(n, 16).copy()
+
+
+def _u64x16_to_ints(arr: np.ndarray) -> list:
+    raw = np.ascontiguousarray(arr, np.uint64).tobytes()
+    return [
+        int.from_bytes(raw[i * 128 : (i + 1) * 128], "little")
+        for i in range(len(raw) // 128)
+    ]
+
+
+def _qr_p16(cls) -> np.ndarray:
+    return _ints_to_u64x16([cls.modulus], 1 << 1024)
+
+
+def qr_multiexp(cls, bases, exponents):
+    lib = load()
+    n = len(bases)
+    b = _ints_to_u64x16([x.value for x in bases], cls.modulus)
+    e = _ints_to_u64x16([int(x) for x in exponents], cls.order)
+    out = np.zeros(16, dtype=np.uint64)
+    lib.vmpc_qr_multiexp(_u64p(_qr_p16(cls)), _u64p(b), _u64p(e), n,
+                         _u64p(out))
+    return cls(_u64x16_to_ints(out)[0])
+
+
+def qr_batch_exp(base, exponents) -> list:
+    cls = type(base)
+    lib = load()
+    n = len(exponents)
+    b = _ints_to_u64x16([base.value], cls.modulus)
+    e = _ints_to_u64x16([int(x) for x in exponents], cls.order)
+    out = np.zeros((n, 16), dtype=np.uint64)
+    lib.vmpc_qr_batch_exp(_u64p(_qr_p16(cls)), _u64p(b), _u64p(e), n,
+                          _u64p(out))
+    return [cls(v) for v in _u64x16_to_ints(out)]
+
+
+def qr_fold(g_l, g_r, c) -> list:
+    cls = type(g_l[0])
+    lib = load()
+    n = len(g_l)
+    gl = _ints_to_u64x16([x.value for x in g_l], cls.modulus)
+    gr = _ints_to_u64x16([x.value for x in g_r], cls.modulus)
+    cc = _ints_to_u64x16([int(c)], cls.order)
+    out = np.zeros((n, 16), dtype=np.uint64)
+    lib.vmpc_qr_fold(_u64p(_qr_p16(cls)), _u64p(gl), _u64p(gr), _u64p(cc), n,
+                     _u64p(out))
+    return [cls(v) for v in _u64x16_to_ints(out)]
+
+
+def register_qr(cls, min_batch: int = 32) -> bool:
+    """Install the QR C kernels as this class's dispatch backends (called
+    by the QuadraticResidues factory once the native tier is enabled).
+    Values are canonical residues either way, so proofs/transcripts are
+    byte-identical to the Python pow() path."""
+    if cls.modulus.bit_length() > 1024 or not available():
+        return False
+    from ..ops import dispatch
+
+    dispatch.register_msm_backend(
+        cls, lambda b, e: qr_multiexp(cls, b, e), min_batch
+    )
+    dispatch.register_fold_backend(
+        cls, lambda gl, gr, c: qr_fold(gl, gr, c), min_batch
+    )
+    dispatch.register_batch_exp_backend(
+        cls, lambda b, e: qr_batch_exp(b, e), min_batch
+    )
+    return True
+
+
 _FASTSER_SRC = os.path.join(_HERE, "_fastser.c")
 _FASTSER_SO = os.path.join(_HERE, "_fastser.so")
 _fastser = None
@@ -872,4 +962,11 @@ def register(min_batch: int = 8):
     dispatch.register_batch_exp_backend(BNPoint, bn_batch_exp, min_batch)
     dispatch.register_msm_backend(BNTwistPoint, bn2_msm, min_batch)
     dispatch.register_batch_exp_backend(BNTwistPoint, bn2_batch_exp, min_batch)
+    # QR classes are created per modulus by the lru-cached factory: install
+    # the C tier for any that already exist (the factory registers classes
+    # created after this point itself)
+    from ..groups import qr as _qr
+
+    for cls in _qr._created_classes():
+        register_qr(cls)
     return True

@@ -39,7 +39,7 @@ NWINDOWS = 64  # 256 / WINDOW
 
 def _scalar_bits(scalars, nbits=NBITS) -> np.ndarray:
     """[N] ints -> [nbits, N] uint32 bit planes, MSB first."""
-    arr = lb.ints_to_limbs([s % ELL for s in scalars]).astype(np.uint16)
+    arr = lb.ints_to_limbs([int(s) % ELL for s in scalars]).astype(np.uint16)
     bytes_view = arr.view(np.uint8).reshape(len(scalars), -1)
     bits = np.unpackbits(bytes_view, axis=1, bitorder="little")  # [N, 256]
     bits = bits[:, :nbits][:, ::-1]  # MSB first
@@ -48,7 +48,12 @@ def _scalar_bits(scalars, nbits=NBITS) -> np.ndarray:
 
 def _scalar_digits(scalars, order: int = ELL) -> np.ndarray:
     """[N] ints -> [NWINDOWS, N] uint32 4-bit digits, most significant first."""
-    arr = lb.ints_to_limbs([s % order for s in scalars]).astype(np.uint16)  # [N, 16]
+    # int() first: field elements carry SIGNED int representatives, and
+    # dispatch.multiexp hands backends raw scalars (gf % order can stay a
+    # field element whose int() is negative)
+    arr = lb.ints_to_limbs(
+        [int(s) % order for s in scalars]
+    ).astype(np.uint16)  # [N, 16]
     n = arr.shape[0]
     digits = np.zeros((n, NWINDOWS), np.uint32)
     for limb in range(16):  # each 16-bit limb holds 4 digits (LSB order)

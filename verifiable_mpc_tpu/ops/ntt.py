@@ -188,6 +188,14 @@ def poly_mul_ints(a, b, use_device=None) -> list:
     la, lb_ = len(a), len(b)
     out_len = la + lb_ - 1
     n = _next_pow2(out_len)
+    max_a = max(max(a, default=1), 1)
+    max_b = max(max(b, default=1), 1)
+    if (min(la, lb_) * max_a * max_b).bit_length() > PRIME_BITS:
+        # coefficients past every direct backend's exactness bound (the
+        # QR-1024 field: ~1023-bit values): base-2^256 limb split, K*K
+        # sub-convolutions through the fast C CRT NTT, shift-recombined.
+        # Exact for coefficients up to 2^(256*K) with n*2^512 < 2^556.
+        return _poly_mul_ints_limbsplit(a, b, max_a, max_b)[:out_len]
     if _MESH_BACKEND is not None and n >= _MESH_BACKEND[1]:
         return _MESH_BACKEND[0](a, b)[:out_len]
     if use_device is None:
@@ -271,6 +279,42 @@ def _ntt_host(values, P, w):
 # ---------------------------------------------------------------------------
 # protocol-field integration (mod-p polynomial products via integer lifting)
 # ---------------------------------------------------------------------------
+
+
+_LIMB_BASE_BITS = 256
+
+
+def _poly_mul_ints_limbsplit(a, b, max_a: int, max_b: int) -> list:
+    """Exact product for LARGE coefficients (e.g. the 1024-bit QR field):
+    write a(x) = sum_k A_k(x) 2^(256 k) with A_k's coefficients < 2^256,
+    convolve every (A_k, B_l) pair through the 256-bit-capable backends,
+    and recombine with shifts.  K*L sub-convolutions of the same length —
+    quasi-linear where the reference's schoolbook is O(n^2) in 1024-bit
+    multiplies (qap_creator.py:62-67)."""
+    ka = (max(max_a.bit_length(), 1) + _LIMB_BASE_BITS - 1) // _LIMB_BASE_BITS
+    kb = (max(max_b.bit_length(), 1) + _LIMB_BASE_BITS - 1) // _LIMB_BASE_BITS
+    mask = (1 << _LIMB_BASE_BITS) - 1
+    a_limbs = [
+        [(c >> (_LIMB_BASE_BITS * k)) & mask for c in a] for k in range(ka)
+    ]
+    b_limbs = [
+        [(c >> (_LIMB_BASE_BITS * l)) & mask for c in b] for l in range(kb)
+    ]
+    out = [0] * (len(a) + len(b) - 1)
+    for k in range(ka):
+        ak = a_limbs[k]
+        if not any(ak):
+            continue
+        for l in range(kb):
+            bl = b_limbs[l]
+            if not any(bl):
+                continue
+            conv = poly_mul_ints(ak, bl)
+            shift = _LIMB_BASE_BITS * (k + l)
+            for i, c in enumerate(conv):
+                if c:
+                    out[i] += c << shift
+    return out
 
 
 def poly_mul_mod(a_ints, b_ints, p: int, use_device=None) -> list:
