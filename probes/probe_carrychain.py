@@ -97,19 +97,24 @@ def main():
     def operand():
         return jnp.asarray(rng.randint(0, 1 << 16, shape).astype(np.uint32))
 
+    # tunnel timing methodology (see bench.py): block_until_ready is
+    # unreliable and identical launches dedupe — time fully-materialized
+    # runs over DISTINCT inputs, subtract nothing (compute must dwarf the
+    # ~25 ms round trip, hence large ITERS)
     results = {}
     for name, k in (("chain", 1), ("ilp4", 4)):
         run = mk_chain(k)
-        args = [operand() for _ in range(k)] + [operand()]
+        variants = [
+            [operand() for _ in range(k)] + [operand()] for _ in range(4)
+        ]
         t0 = time.perf_counter()
-        out = run(*args)
-        jax.block_until_ready(out)
+        _ = [np.asarray(o) for o in run(*variants[0])]
         print(f"{name}: compile+first {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         best = float("inf")
-        for _ in range(3):
+        for r in range(1, 4):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(*args))
+            _ = [np.asarray(o) for o in run(*variants[r])]
             best = min(best, time.perf_counter() - t0)
         fmuls = iters * k
         rate = fmuls / best  # field muls / s (per [8,128] tile = 1024 lanes)
@@ -121,14 +126,14 @@ def main():
         )
 
     raw = mk_raw()
-    x, y = operand(), operand()
+    variants = [(operand(), operand()) for _ in range(4)]
     t0 = time.perf_counter()
-    jax.block_until_ready(raw(x, y))
+    _ = np.asarray(raw(*variants[0]))
     print(f"raw: compile+first {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     best = float("inf")
-    for _ in range(3):
+    for r in range(1, 4):
         t0 = time.perf_counter()
-        jax.block_until_ready(raw(x, y))
+        _ = np.asarray(raw(*variants[r]))
         best = min(best, time.perf_counter() - t0)
     raw_mulps = iters * 64 * 16 * lanes / best  # u32 mults/s (16 rows/iter)
     print(f"raw u32 mul: {raw_mulps/1e12:.3f} T mults/s", file=sys.stderr)

@@ -208,9 +208,18 @@ def enable_multichip(mesh=None, min_msm_batch: int = 64,
     return mesh
 
 
-def enable_native(min_batch: int = 8):
+def enable_native(min_batch: int = 8, min_poly_len: int = 128):
     """Install the C++ host tier (Pippenger MSM etc.) as the dispatch backend
     for Ed25519.  Returns False if no toolchain is available."""
     from . import native
 
-    return native.register(min_batch)
+    ok = native.register(min_batch)
+    if ok:
+        # large polynomial products (KoE's product-polynomial argument,
+        # QAP paths) route through the C CRT NTT — previously only
+        # enable_tpu registered this, so the native KoE prove ran the
+        # O(n^2) gf schoolbook (minutes at 2^12)
+        from .ops import ntt
+
+        ntt.register(min_poly_len)
+    return ok

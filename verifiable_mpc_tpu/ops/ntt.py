@@ -281,25 +281,26 @@ def _ntt_host(values, P, w):
 # ---------------------------------------------------------------------------
 
 
-_LIMB_BASE_BITS = 256
-
-
 def _poly_mul_ints_limbsplit(a, b, max_a: int, max_b: int) -> list:
     """Exact product for LARGE coefficients (e.g. the 1024-bit QR field):
-    write a(x) = sum_k A_k(x) 2^(256 k) with A_k's coefficients < 2^256,
-    convolve every (A_k, B_l) pair through the 256-bit-capable backends,
-    and recombine with shifts.  K*L sub-convolutions of the same length —
+    write a(x) = sum_k A_k(x) 2^(base k) with A_k's coefficients < 2^base,
+    convolve every (A_k, B_l) pair through the direct backends, and
+    recombine with shifts.  K*L sub-convolutions of the same length —
     quasi-linear where the reference's schoolbook is O(n^2) in 1024-bit
-    multiplies (qap_creator.py:62-67)."""
-    ka = (max(max_a.bit_length(), 1) + _LIMB_BASE_BITS - 1) // _LIMB_BASE_BITS
-    kb = (max(max_b.bit_length(), 1) + _LIMB_BASE_BITS - 1) // _LIMB_BASE_BITS
-    mask = (1 << _LIMB_BASE_BITS) - 1
-    a_limbs = [
-        [(c >> (_LIMB_BASE_BITS * k)) & mask for c in a] for k in range(ka)
-    ]
-    b_limbs = [
-        [(c >> (_LIMB_BASE_BITS * l)) & mask for c in b] for l in range(kb)
-    ]
+    multiplies (qap_creator.py:62-67).
+
+    ``base`` is sized so each sub-convolution fits the direct CRT bound
+    (min_len * 2^(2*base) < 2^PRIME_BITS) and, crucially, is STRICTLY
+    smaller than the current coefficient width — a fixed 256-bit base
+    made no progress for ~257-bit coefficients whose n pushed the bound
+    just over the limit (infinite recursion)."""
+    base = (PRIME_BITS - 4 - min(len(a), len(b)).bit_length()) // 2
+    base = max(64, min(256, base))
+    ka = (max(max_a.bit_length(), 1) + base - 1) // base
+    kb = (max(max_b.bit_length(), 1) + base - 1) // base
+    mask = (1 << base) - 1
+    a_limbs = [[(c >> (base * k)) & mask for c in a] for k in range(ka)]
+    b_limbs = [[(c >> (base * l)) & mask for c in b] for l in range(kb)]
     out = [0] * (len(a) + len(b) - 1)
     for k in range(ka):
         ak = a_limbs[k]
@@ -310,7 +311,7 @@ def _poly_mul_ints_limbsplit(a, b, max_a: int, max_b: int) -> list:
             if not any(bl):
                 continue
             conv = poly_mul_ints(ak, bl)
-            shift = _LIMB_BASE_BITS * (k + l)
+            shift = base * (k + l)
             for i, c in enumerate(conv):
                 if c:
                     out[i] += c << shift
