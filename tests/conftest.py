@@ -84,23 +84,34 @@ CHILD = None
 
 
 def _spawn_multidevice_child():
+    """One child pytest PER MODULE: the in-process XLA:CPU compiler-state
+    aborts are order-dependent across program classes (see module comment),
+    and even inside the dedicated child a later module's shard_map compile
+    aborted after an earlier module's interpret-mode compiles (round-5 full
+    run, SIGABRT in backend_compile_and_load).  Per-module processes give
+    each program class a pristine compiler; they also overlap each other.
+    Returns a list of (module, proc, log_path)."""
     import subprocess
     import sys
     import tempfile
 
     here = os.path.dirname(__file__)
-    paths = [os.path.join(here, f"{m}.py") for m in MULTIDEVICE_MODULES]
-    log = tempfile.NamedTemporaryFile(
-        mode="w", suffix="_multidevice_child.log", delete=False
-    )
-    proc = subprocess.Popen(
-        [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider"]
-        + paths,
-        stdout=log,
-        stderr=subprocess.STDOUT,
-        text=True,
-    )
-    return proc, log.name
+    out = []
+    for m in MULTIDEVICE_MODULES:
+        log = tempfile.NamedTemporaryFile(
+            mode="w", suffix=f"_{m}_child.log", delete=False
+        )
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "pytest", "-q", "-p",
+                "no:cacheprovider", os.path.join(here, f"{m}.py"),
+            ],
+            stdout=log,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        out.append((m, proc, log.name))
+    return out
 
 
 def pytest_collection_modifyitems(session, config, items):
@@ -130,7 +141,9 @@ def pytest_collection_modifyitems(session, config, items):
 
 
 def pytest_sessionfinish(session, exitstatus):
-    # -x / interrupted runs must not orphan the child (killed by handle,
+    # -x / interrupted runs must not orphan children (killed by handle,
     # never by pattern)
-    if CHILD is not None and CHILD[0].poll() is None:
-        CHILD[0].kill()
+    if CHILD is not None:
+        for _m, proc, _log in CHILD:
+            if proc.poll() is None:
+                proc.kill()

@@ -21,35 +21,40 @@ def test_multidevice_modules_in_child_process():
     import conftest
 
     if conftest.CHILD is not None:
-        # full-suite mode: the child was launched at collection time so its
-        # interpret-mode compiles overlap the main suite (VERDICT r4 #8);
-        # here we only join it and check the result
-        proc, log_path = conftest.CHILD
-        try:
-            rc = proc.wait(timeout=5400)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            raise
-        with open(log_path) as f:
-            out = f.read()
-        tail = out[-3000:]
-        assert rc == 0, tail
-    else:
-        paths = [os.path.join(HERE, f"{m}.py") for m in MULTIDEVICE_MODULES]
+        # full-suite mode: per-module children were launched at collection
+        # time so their interpret-mode compiles overlap the main suite
+        # (VERDICT r4 #8); here we only join them and check the results
+        for m, proc, log_path in conftest.CHILD:
+            try:
+                rc = proc.wait(timeout=5400)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                raise
+            with open(log_path) as f:
+                out = f.read()
+            tail = out[-3000:]
+            assert rc == 0, (m, tail)
+            summary = [ln for ln in out.splitlines() if " passed" in ln]
+            assert summary, (m, tail)
+            assert "failed" not in summary[-1], (m, tail)
+            print(f"child {m}: {summary[-1]}")
+        return
+    for m in MULTIDEVICE_MODULES:
         r = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider"]
-            + paths,
+            [
+                sys.executable, "-m", "pytest", "-q", "-p",
+                "no:cacheprovider", os.path.join(HERE, f"{m}.py"),
+            ],
             capture_output=True,
             text=True,
-            # the child compiles every interpret-mode kernel fresh (~45 min
-            # on 4 idle cores) and shares those cores with whatever else
-            # runs — a 1 h cap flaked under concurrent bench load (round 4)
+            # each child compiles its interpret-mode kernels fresh and
+            # shares cores with whatever else runs — generous cap
             timeout=5400,
         )
         out = r.stdout
         tail = (r.stdout[-3000:], r.stderr[-1500:])
-        assert r.returncode == 0, tail
-    summary = [line for line in out.splitlines() if " passed" in line]
-    assert summary, tail
-    assert "failed" not in summary[-1], tail
-    print(f"child summary: {summary[-1]}")
+        assert r.returncode == 0, (m, tail)
+        summary = [ln for ln in out.splitlines() if " passed" in ln]
+        assert summary, (m, tail)
+        assert "failed" not in summary[-1], (m, tail)
+        print(f"child {m}: {summary[-1]}")
