@@ -63,14 +63,52 @@ def prove_sweep():
             g_length, cs.PivotChoice.compressed, group
         )
 
-    ndevs = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
+    if os.environ.get("SCALING_PROVE_NDEV") is None:
+        # one subprocess per mesh size: XLA:CPU exhausts its JIT memory
+        # compiling the many per-size shard_map programs of four meshes in
+        # one process (LLVM "Cannot allocate memory", round-5 run)
+        import subprocess
+
+        results = {}
+        blobs = set()
+        for d in (1, 2, 4, 8):
+            env = dict(os.environ, SCALING_PROVE_NDEV=str(d))
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--prove"],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+            sys.stderr.write(r.stderr[-2000:])
+            if r.returncode != 0:
+                print(f"ndev={d}: FAILED", file=sys.stderr)
+                continue
+            line = json.loads(r.stdout.strip().splitlines()[-1])
+            results[d] = line["prove_seconds"][str(d)]
+            blobs.add(line["proof_digest"])
+        assert len(blobs) <= 1, f"proof digests diverge: {blobs}"
+        dmax = max(results)
+        record = {
+            "metric": "ac20_prove_mesh_scaling_efficiency",
+            "value": round(
+                results[min(results)] * min(results) / (results[dmax] * dmax),
+                3,
+            ),
+            "unit": f"fraction_at_{dmax}_devices",
+            "log2_muls": int(os.environ.get("SCALING_LOG2_MULS", "8")),
+            "backend": "cpu",
+            "prove_seconds": {str(d): t for d, t in results.items()},
+        }
+        print(json.dumps(record), flush=True)
+        return
+
+    ndevs = [int(os.environ["SCALING_PROVE_NDEV"])]
     times, expect = {}, None
     for d in ndevs:
-        # ndev*chunk constant: every MSM size pads to the same shape ->
-        # one XLA compile per mesh size (see tests/test_multichip_prover.py)
+        # shard only the at-scale MSMs/folds (the commitment sizes); tiny
+        # compression tails stay host-side — the production split, and it
+        # bounds the per-mesh XLA compile count
         verifiable_mpc_tpu.enable_multichip(
-            pmesh.default_mesh(d), min_msm_batch=8, fused=False,
-            chunk=max(1, 32 // d),
+            pmesh.default_mesh(d), min_msm_batch=max(64, n_muls // 2),
+            fused=False, chunk=max(1, 32 // d),
         )
 
         def prove():
@@ -93,6 +131,8 @@ def prove_sweep():
             f"ndev={d}: prove {times[d]:.2f}s (efficiency {eff:.2f})",
             file=sys.stderr,
         )
+    import hashlib
+
     dmax = ndevs[-1]
     record = {
         "metric": "ac20_prove_mesh_scaling_efficiency",
@@ -101,6 +141,7 @@ def prove_sweep():
         "log2_muls": log2n,
         "backend": jax.default_backend(),
         "prove_seconds": {str(d): round(t, 2) for d, t in times.items()},
+        "proof_digest": hashlib.sha256(expect).hexdigest()[:16],
     }
     print(json.dumps(record), flush=True)
 
